@@ -1,0 +1,33 @@
+"""superman_tpu — TPU-native matrix permanent engine.
+
+A ground-up JAX/XLA/Pallas re-design of the capability set of
+kamerkaya/SUPerman (CUDA/C++): exact permanents via the Nijenhuis–Wilf
+Gray-code Ryser formula, sparse SpaRyser/SkipPer variants, Monte-Carlo
+estimators (Rasmussen, Sinkhorn-scaling-guided), matrix orderings,
+exact-preserving compressions, Sinkhorn preconditioning, grid-graph
+perfect-matching counting, CLI + Python/C APIs — executed on TPU via
+Pallas kernels sharded over a `jax.sharding.Mesh`, with a native C++
+OpenMP engine for the host CPU path.
+"""
+
+import jax as _jax
+
+# float64 is load-bearing for exactness guarantees (host-side reductions,
+# the f64 XLA walk, longdouble quad parity); all device arrays in this
+# package carry explicit dtypes so enabling x64 does not change kernel types.
+_jax.config.update("jax_enable_x64", True)
+
+from .core.flags import Flags
+from .core.result import Result
+from .core.matrix import DenseMatrix, SparseMatrix, matrix2compressed
+from .io.triplet import read_triplet, write_triplet
+from .io.matrixmarket import read_matrix_market, read_any
+from .api import permanent
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Flags", "Result", "DenseMatrix", "SparseMatrix", "matrix2compressed",
+    "read_triplet", "write_triplet", "read_matrix_market", "read_any",
+    "permanent",
+]

@@ -1,0 +1,58 @@
+"""Top-level Python API.
+
+``permanent(matrix_or_path, **flag_overrides)`` is the single entry point:
+it mirrors the reference's L4 orchestration (RunAlgo + scaling/compression
+drivers, revised_perman/main.cpp:98-1264) behind one call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Union
+
+import numpy as np
+
+from .core.flags import Flags
+from .core.result import Result
+from .core.matrix import DenseMatrix
+
+
+def _as_dense(m, flags: Flags) -> DenseMatrix:
+    if isinstance(m, DenseMatrix):
+        dm = m
+    elif isinstance(m, str):
+        from .io.matrixmarket import read_any
+        dm = read_any(m, flags.binary_graph, flags.storage_half_precision)
+        flags.filename = m
+    else:
+        a = np.asarray(m)
+        if a.ndim != 2 or a.shape[0] != a.shape[1]:
+            raise ValueError("matrix must be square")
+        if np.issubdtype(a.dtype, np.integer):
+            tname = "int"
+        elif a.dtype == np.float32:
+            tname = "float"
+        else:
+            tname = "double"
+        dm = DenseMatrix(a, tname)
+    if flags.binary_graph:
+        dm = dm.binarized()
+    flags.type = dm.type
+    return dm
+
+
+def permanent(matrix: Union[np.ndarray, DenseMatrix, str], **overrides) -> Result:
+    """Compute the permanent of a square matrix.
+
+    matrix: array-like, DenseMatrix, or a path (triplet / MatrixMarket).
+    overrides: any `Flags` field, e.g. sparse=True, approximation=True,
+    calc="f32", preprocessing=2, compression=True, scaling_threshold=1.0.
+    """
+    flag_fields = {f.name for f in dataclasses.fields(Flags)}
+    unknown = set(overrides) - flag_fields
+    if unknown:
+        raise TypeError(f"unknown flags: {sorted(unknown)}")
+    flags = Flags(**overrides)
+    dm = _as_dense(matrix, flags)
+    from .drivers.runner import run
+    return run(dm, flags)

@@ -1,0 +1,92 @@
+"""Run configuration.
+
+Parity: ``struct flags`` (reference revised_perman/flags.h:48-143) — every
+field of the reference's config struct has an equivalent here, plus the
+TPU-native knobs (mesh shape, calc dtype, chunk log2) that replace the CUDA
+launch-geometry fields (grid_dim/block_dim/device_id).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+# calc dtypes (the reference's calculation precision knobs -h/-q map to
+# half/quad; on TPU the ladder is f32 < df64 < f64; "quad" maps to the
+# CPU-native long-double path in the native engine).
+CALC_DTYPES = ("f32", "df64", "f64", "quad")
+
+
+@dataclasses.dataclass
+class Flags:
+    # ---- device / algorithm selection (flags.h:49-66) ----
+    cpu: bool = False           # -c : run on host CPU (native engine / XLA-CPU)
+    gpu: bool = True            # -g : reference's GPU == our TPU accelerator path
+    dense: bool = True
+    sparse: bool = False        # -s
+    exact: bool = True
+    approximation: bool = False  # -a
+    binary_graph: bool = False   # -b : treat all values as 1
+    grid_graph: bool = False     # -i : compute #perfect-matchings of a grid
+    gridm: int = 36              # -m
+    gridn: int = 36              # -n
+    perman_algo: str = "auto"    # -p : algorithm name or numeric alias
+    threads: int = 16            # -t : host threads for the native CPU engine
+
+    # ---- precision policy (flags.h:67-79) ----
+    # storage dtype of the matrix ("int" | "float" | "double"); set by readers.
+    type: str = "double"
+    calculation_half_precision: bool = False  # -h : calc in f32
+    calculation_quad_precision: bool = False  # -q : calc in quad (CPU only)
+    storage_half_precision: bool = False      # -w : store matrix in f32
+    storage_quad_precision: bool = False      # -v
+    #: TPU-native calc dtype; None -> derive from the booleans above
+    calc: Optional[str] = None
+
+    # ---- approximation parameters (flags.h:80-89) ----
+    number_of_times: int = 100000  # -x : Monte-Carlo trials
+    scale_intervals: int = 4       # -y
+    scale_times: int = 5           # -z
+
+    # ---- preprocessing / transforms (flags.h:90-103) ----
+    preprocessing: int = 0         # -r : 0 none, 1 SortOrder, 2 SkipOrder
+    compression: bool = False      # -o : exact-preserving d1/d2/d34 reductions
+    scaling_threshold: float = -1.0  # -u : Sinkhorn target row/col sum; -1 off
+
+    # ---- run shape (flags.h:104-143) ----
+    gpu_num: int = 2               # -d : number of accelerator devices to use
+    device_id: int = 0             # -l
+    rep: int = 1                   # -k : repetitions
+    grid_multip: int = 1           # -e : grid-dim multiplier (launch tuning)
+
+    # ---- TPU-native knobs (no reference equivalent) ----
+    #: log2 of the Gray-code chunk size; each kernel lane walks one chunk of
+    #: 2**chunk_log2 consecutive subset indices. None -> auto from n.
+    chunk_log2: Optional[int] = None
+    #: lanes per Pallas program (vector width of the kernel)
+    lanes: int = 1024
+    #: mesh axis sizes, e.g. (8,) for an 8-chip ring; None -> all local devices
+    mesh_shape: Optional[Tuple[int, ...]] = None
+    #: chunk-level dead-range pruning for sparse matrices (TPU SkipPer)
+    skip_pruning: bool = True
+    #: PRNG seed for approximation algorithms
+    seed: int = 0
+
+    # ---- bookkeeping ----
+    filename: str = ""             # -f
+    algo_name: str = ""
+
+    def resolved_calc(self) -> str:
+        if self.calc is not None:
+            return self.calc
+        if self.calculation_quad_precision:
+            return "quad"
+        if self.calculation_half_precision:
+            return "f32"
+        # reference default is double calc; on TPU the honest equivalent is
+        # the compensated double-float path
+        return "df64" if not self.cpu else "f64"
+
+    def resolved_device(self) -> str:
+        return "cpu" if (self.cpu and not self.gpu) else "tpu"

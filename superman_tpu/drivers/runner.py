@@ -1,0 +1,59 @@
+"""L4 orchestration: dispatch a (matrix, flags) pair to an engine.
+
+Parity: RunAlgo (reference revised_perman/main.cpp:98-762) plus the
+scaling / compression drivers (main.cpp:994-1264).  The reference's
+algorithm-id zoo collapses: all dense/sparse exact variants are one engine
+(ops/ryser.py) with preprocessing + pruning options; approximation ids map
+to the estimator engine (ops/approx.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.flags import Flags
+from ..core.matrix import DenseMatrix
+from ..core.result import Result
+
+
+def run(dense: DenseMatrix, flags: Flags) -> Result:
+    # transform drivers wrap the core run (order matches the reference:
+    # scaling may invoke compression which recurses back here)
+    if flags.scaling_threshold != -1.0:
+        from .scale_driver import scale_and_calculate
+        return scale_and_calculate(dense, flags)
+    if flags.compression:
+        from .compress_driver import compress_singleton_and_then_recurse
+        return compress_singleton_and_then_recurse(dense, flags)
+    return run_algo(dense, flags)
+
+
+def run_algo(dense: DenseMatrix, flags: Flags) -> Result:
+    if flags.approximation:
+        from ..ops.approx import approximate
+        return approximate(dense, flags)
+
+    if flags.cpu and not flags.gpu:
+        from ..bindings.native import native_available, perman_native
+        if native_available() and flags.resolved_calc() != "f64":
+            return perman_native(dense, flags)
+        # fall through to the XLA-CPU engine
+
+    # exact accelerator path
+    from ..prep.orderings import apply_preprocessing
+    from ..parallel.mesh import mesh_for_flags
+    dm = apply_preprocessing(dense, flags.preprocessing) \
+        if flags.sparse else dense
+    mesh = mesh_for_flags(flags)
+
+    chunk_ids = None
+    if flags.sparse and flags.skip_pruning:
+        from ..ops.pruning import live_chunks
+        chunk_ids = live_chunks(dm, flags)
+
+    from ..ops.ryser import ryser_exact
+    res = ryser_exact(dm, flags, mesh=mesh, chunk_ids=chunk_ids)
+    if flags.sparse:
+        res.algo_name = res.algo_name.replace("ryser", "sparyser")
+    flags.algo_name = res.algo_name
+    return res

@@ -1,0 +1,178 @@
+"""Monte-Carlo permanent estimators, vmapped over trials.
+
+Parity: rasmussen / rasmussen_sparse (reference algo.h:269/171) and
+approximation_perman64[_sparse] (algo.h:471/366) plus their GPU kernels
+(gpu_approximation_dense.cu:155-369).  TPU-native design choices:
+
+* 1 trial = 1 vmap lane (the reference uses 1 CUDA thread = 1 trial);
+  trials run in batches sharded over the mesh.
+* `jax.random` counter-based PRNG (replaces curand_init(rand()*tid), which
+  seeds correlated streams).
+* Row/column extraction state is a pair of (n,) masks — no bitfield juggling
+  (the reference burns registers on int[21] bitmasks, capping n at 672).
+* The running estimate lives in log2 space: Rasmussen products reach
+  prod(row_nnz) ~ n^n, far beyond f32/f64 range for large grid graphs; the
+  reference simply overflows there.  exp2 happens on host in float64.
+
+Both estimators return mean(X) over trials where X is an unbiased estimator
+of per(A); dead trials (a row ran out of columns) contribute 0 and are
+counted like the reference's "number of zeros" log line (algo.h:166).
+
+Scaling-interval semantics: the reference's CPU code gates Sinkhorn on the
+*trial* index (algo.h:512 `time % scale_intervals`) while its GPU kernel
+gates on the *step* index (gpu_approximation_dense.cu:281); step-gating is
+the documented intent ("scales matrix at every scale interval", README) and
+is what we implement.
+"""
+
+from __future__ import annotations
+
+import functools
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.matrix import DenseMatrix
+from ..core.result import Result
+
+_NEG_INF = jnp.float32(-1e30)
+
+
+def _uniform_choice(key, weights):
+    """Sample an index with probability proportional to weights (>=0)."""
+    total = jnp.sum(weights)
+    u = jax.random.uniform(key, (), dtype=jnp.float32) * total
+    cum = jnp.cumsum(weights)
+    idx = jnp.argmax(cum > u)
+    return idx, weights[idx] / jnp.where(total > 0, total, 1.0), total
+
+
+def _rasmussen_trial(key, nz, n):
+    """One Rasmussen trial on the 0/1 support matrix nz (n, n) f32.
+    Returns (log2 estimate, dead flag)."""
+    nnz0 = jnp.sum(nz, axis=1)
+
+    def step(carry, _):
+        key, colm, rowm, nnz, logp, dead = carry
+        key, k1, k2 = jax.random.split(key, 3)
+        # min-nnz unextracted row (ties -> lowest index, like the reference)
+        masked = jnp.where(rowm > 0, nnz, jnp.float32(1e9))
+        row = jnp.argmin(masked)
+        rn = nnz[row]
+        dead = dead | (rn < 0.5)
+        logp = logp + jnp.log2(jnp.maximum(rn, 1.0))
+        # uniform choice among valid columns of `row`
+        valid = nz[row] * colm
+        u = jax.random.uniform(k1, (n,), dtype=jnp.float32)
+        col = jnp.argmax(jnp.where(valid > 0, u, -1.0))
+        colm = colm.at[col].set(0.0)
+        rowm = rowm.at[row].set(0.0)
+        nnz = nnz - nz[:, col]
+        return (key, colm, rowm, nnz, logp, dead), None
+
+    init = (key, jnp.ones(n, jnp.float32), jnp.ones(n, jnp.float32),
+            nnz0, jnp.float32(0.0), jnp.bool_(False))
+    (key, _, _, _, logp, dead), _ = lax.scan(step, init, None, length=n)
+    return logp, dead
+
+
+def _scaling_trial(key, a, nz, n, scale_intervals, scale_times):
+    """One Sinkhorn-scaling-guided trial (reference algo.h:471-566)."""
+    def step(k, carry):
+        key, colm, rowm, dr, dc, logx, dead = carry
+        key, k1 = jax.random.split(key)
+        # min residual-degree row
+        nnz = jnp.sum(nz * colm[None, :], axis=1)
+        masked = jnp.where(rowm > 0, nnz, jnp.float32(1e9))
+        row = jnp.argmin(masked)
+
+        # periodic Sinkhorn on the unextracted submatrix
+        def sinkhorn(args):
+            dr, dc, dead = args
+            def sweep(_, s):
+                dr, dc, dead = s
+                colsum = jnp.sum(a * (dr * rowm)[:, None], axis=0) * colm
+                dead = dead | jnp.any((colsum == 0) & (colm > 0))
+                dc = jnp.where(colm > 0,
+                               1.0 / jnp.where(colsum > 0, colsum, 1.0), dc)
+                rowsum = jnp.sum(a * (dc * colm)[None, :], axis=1) * rowm
+                dead = dead | jnp.any((rowsum == 0) & (rowm > 0))
+                dr = jnp.where(rowm > 0,
+                               1.0 / jnp.where(rowsum > 0, rowsum, 1.0), dr)
+                return dr, dc, dead
+            return lax.fori_loop(0, scale_times, sweep, (dr, dc, dead))
+
+        dr, dc, dead = lax.cond(k % scale_intervals == 0, sinkhorn,
+                                lambda s: s, (dr, dc, dead))
+
+        # sample column ~ d_r[row] * a[row, j] * d_c[j] over valid columns
+        w = dr[row] * a[row] * dc * colm
+        col, pj, total = _uniform_choice(k1, w)
+        dead = dead | (total == 0)
+        logx = logx - jnp.log2(jnp.maximum(pj, 1e-37))
+        colm = colm.at[col].set(0.0)
+        rowm = rowm.at[row].set(0.0)
+        return key, colm, rowm, dr, dc, logx, dead
+
+    init = (key, jnp.ones(n, jnp.float32), jnp.ones(n, jnp.float32),
+            jnp.ones(n, jnp.float32), jnp.ones(n, jnp.float32),
+            jnp.float32(0.0), jnp.bool_(False))
+    carry = lax.fori_loop(0, n, step, init)
+    return carry[5], carry[6]
+
+
+@functools.partial(jax.jit, static_argnames=("algo", "n", "scale_intervals",
+                                             "scale_times"))
+def _run_batch(keys, a, nz, *, algo, n, scale_intervals, scale_times):
+    if algo == "rasmussen":
+        f = lambda k: _rasmussen_trial(k, nz, n)
+    else:
+        f = lambda k: _scaling_trial(k, a, nz, n, scale_intervals,
+                                     scale_times)
+    return jax.vmap(f)(keys)
+
+
+def approximate(dense: DenseMatrix, flags) -> Result:
+    a = np.asarray(dense.mat, dtype=np.float64)
+    n = a.shape[0]
+    algo = str(flags.perman_algo)
+    algo = {"1": "rasmussen", "2": "scaling", "3": "rasmussen",
+            "4": "scaling", "auto": "scaling"}.get(algo, algo)
+    if algo not in ("rasmussen", "scaling"):
+        raise ValueError(f"unknown approximation algorithm {flags.perman_algo}")
+    if algo == "rasmussen" and not np.all(np.isin(a[a != 0], [1])):
+        # reference: "This algorithm only works for binary matrices"
+        a = (a != 0).astype(np.float64)
+
+    t0 = _time.perf_counter()
+    trials = int(flags.number_of_times)
+    batch = min(trials, 1 << 14)
+    nz = jnp.asarray(a != 0, jnp.float32)
+    aj = jnp.asarray(a, jnp.float32)
+    key = jax.random.PRNGKey(flags.seed)
+
+    total = 0.0
+    zeros = 0
+    done = 0
+    while done < trials:
+        b = min(batch, trials - done)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, b)
+        logs, dead = _run_batch(keys, aj, nz, algo=algo, n=n,
+                                scale_intervals=int(flags.scale_intervals),
+                                scale_times=int(flags.scale_times))
+        logs = np.asarray(logs, np.float64)
+        dead = np.asarray(dead)
+        total += float(np.sum(np.where(dead, 0.0, np.exp2(logs))))
+        zeros += int(dead.sum())
+        done += b
+    est = total / trials
+    return Result(est, _time.perf_counter() - t0,
+                  algo_name=f"approx_{algo}", zeros=zeros,
+                  iterations=trials,
+                  meta={"trials": trials, "scale_intervals":
+                        flags.scale_intervals, "scale_times":
+                        flags.scale_times})

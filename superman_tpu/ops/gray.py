@@ -1,0 +1,131 @@
+"""Gray-code range decomposition and x-vector initialization.
+
+The Ryser index space i in [0, 2^(n-1)) is cut into aligned chunks of
+2**r indices.  Because chunks are aligned, at inner step m every lane flips
+the SAME column k = ctz(m) — the walk vectorizes across lanes with no
+gathers (contrast: the reference reconstructs per-thread gray state inside
+each CUDA thread, gpu_exact_dense.cu:90-98; here alignment removes the
+divergence entirely).  The only lane-divergent quantity is the sign of the
+single mid step m = 2**(r-1), which equals the chunk-index parity.
+
+Chunk ids fit in int32 because the planner caps the chunk count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import df64
+
+
+@dataclasses.dataclass(frozen=True)
+class RyserPlan:
+    n: int           # matrix order
+    n_pad: int       # padded x length (power of two or 5*2^k)
+    r: int           # log2 chunk length
+    lanes: int       # lanes per kernel program (L)
+    num_chunks: int  # total chunks = 2^(n-1-r)
+
+    @property
+    def total_iters(self) -> int:
+        return 1 << (self.n - 1)
+
+
+def pad_n(n: int) -> int:
+    """Smallest padded size >= n of shape 2^k or 5*2^k (tree-product-able),
+    and a multiple of 8 (f32 sublane tile)."""
+    best = 1 << math.ceil(math.log2(max(n, 8)))
+    c = 5
+    while c < n:
+        c *= 2
+    if c >= max(n, 8) and c % 8 == 0 and c < best:
+        best = c
+    return best
+
+
+def make_plan(n: int, lanes: int = 1024, chunk_log2=None,
+              target_chunks_log2: int = 17) -> RyserPlan:
+    if chunk_log2 is None:
+        r = max(1, (n - 1) - target_chunks_log2)
+    else:
+        r = chunk_log2
+    r = min(r, n - 2) if n > 2 else 1
+    num_chunks = 1 << max(0, (n - 1) - r)
+    lanes = min(lanes, num_chunks)
+    return RyserPlan(n=n, n_pad=pad_n(n), r=r, lanes=lanes,
+                     num_chunks=num_chunks)
+
+
+def chunk_gray_bits(chunk_ids, n: int, r: int):
+    """Gray-code bits of base = chunk_id * 2^r as a (..., n-1) 0/1 int32
+    array: bit b = gray(chunk)>>(b-r) for b >= r, chunk&1 for b == r-1,
+    else 0."""
+    l = chunk_ids.astype(jnp.int32)
+    gray_l = l ^ (l >> 1)
+    b = jnp.arange(n - 1, dtype=jnp.int32)
+    hi = (gray_l[..., None] >> jnp.maximum(b - r, 0)[None, :]) & 1
+    hi = jnp.where(b[None, :] >= r, hi, 0)
+    mid = jnp.where(b[None, :] == r - 1, l[..., None] & 1, 0)
+    return hi | mid
+
+
+def x0_f64(a: np.ndarray) -> np.ndarray:
+    """Nijenhuis–Wilf initial x vector (host, float64):
+    x0[j] = a[j, n-1] - rowsum(j)/2  (reference algo.h:1044-1049)."""
+    a = np.asarray(a, dtype=np.float64)
+    return a[:, -1] - a.sum(axis=1) / 2
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_pad", "r", "df"))
+def chunk_init(chunk_ids, x0_pair, cols_pair, n: int, n_pad: int, r: int,
+               df: bool):
+    """Device-side lane init.
+
+    chunk_ids: (B, L) int32 (may contain sentinel -1 -> zero x, dead lane).
+    x0_pair:   (2, n_pad) f32 hi/lo of x0 (lo exact split of the f64 value).
+    cols_pair: (2, n-1, n_pad) f32 hi/lo of the matrix columns (col k padded).
+    Returns (Xhi, Xlo, sign_mid): X* (B, n_pad, L), sign_mid (B, 1, L).
+
+    The accumulation is a compensated (df64) chain over the n-1 columns, so
+    the result equals the float64 init bit-for-bit for every input whose
+    columns are exactly representable in the (hi, lo) pairs.
+    """
+    dead = (chunk_ids < 0)
+    ids = jnp.where(dead, 0, chunk_ids)
+    bits = chunk_gray_bits(ids, n, r)            # (B, L, n-1)
+    bits_f = bits.astype(jnp.float32)
+    xhi = jnp.broadcast_to(x0_pair[0][None, :, None],
+                           ids.shape[:1] + (n_pad, ids.shape[1]))
+    xlo = jnp.broadcast_to(x0_pair[1][None, :, None], xhi.shape)
+    for k in range(n - 1):
+        bk = bits_f[:, :, k][:, None, :]         # (B, 1, L)
+        chi = cols_pair[0, k][None, :, None] * bk
+        clo = cols_pair[1, k][None, :, None] * bk
+        if df:
+            xhi, xlo = df64.df_add(xhi, xlo, chi, clo)
+        else:
+            xhi = xhi + chi
+    sign_mid = (1 - 2 * (ids & 1)).astype(jnp.float32)[:, None, :]
+    # dead lanes: x = 0 -> every term's product is 0; contributes nothing
+    alive = jnp.where(dead, 0.0, 1.0).astype(jnp.float32)[:, None, :]
+    return xhi * alive, xlo * alive, sign_mid
+
+
+def pack_matrix(a: np.ndarray, n_pad: int):
+    """Host-side packing: (x0_pair, cols_pair) with padding rows that are
+    multiplicative identities (x0 pad = 1, column pad = 0)."""
+    a = np.asarray(a, dtype=np.float64)
+    n = a.shape[0]
+    x0 = np.ones(n_pad, dtype=np.float64)
+    x0[:n] = x0_f64(a)
+    cols = np.zeros((n - 1, n_pad), dtype=np.float64)
+    cols[:, :n] = a[:, : n - 1].T
+    x0_pair = np.stack(df64.split_f64(x0))
+    cols_pair = np.stack(df64.split_f64(cols))
+    return x0_pair, cols_pair

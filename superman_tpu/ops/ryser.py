@@ -1,0 +1,161 @@
+"""Exact-permanent engine: planning, dispatch, reduction.
+
+This is the TPU-native umbrella over what the reference exposes as the
+dense exact kernel family (gpu_exact_dense.cu wrappers p0-p6) plus the CPU
+parallel_perman64 (algo.h:662): one engine, parameterized by calc dtype and
+mesh, instead of five memory-placement variants.
+"""
+
+from __future__ import annotations
+
+import time
+import warnings
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..core.matrix import DenseMatrix
+from ..core.result import Result
+from . import gray
+from .df64 import split_f64
+
+
+def _exact_storage(dense: DenseMatrix) -> bool:
+    """True when matrix values and the half-integer x walk are exact in f32
+    (the int suites): f32 updates are then error-free."""
+    if dense.type != "int":
+        return False
+    a = dense.mat.astype(np.float64)
+    return bool(np.max(np.abs(a).sum(axis=1), initial=0.0) < 2 ** 22)
+
+
+def _overflow_risk(a: np.ndarray) -> float:
+    """log2 of a bound on |prod_j x_j| along the walk."""
+    a = np.abs(np.asarray(a, dtype=np.float64))
+    xmax = a[:, -1] + a.sum(axis=1) / 2 + 1e-300
+    return float(np.sum(np.log2(xmax)))
+
+
+def _row_scales(a: np.ndarray) -> np.ndarray:
+    """Integer exponents s_j so that scaling row j by 2**-s_j bounds every
+    |x_j| by ~1 along the whole walk (|x_j| <= |a[j,n-1]| + abs-rowsum/2).
+
+    Power-of-two scaling is EXACT in binary floating point, so the f32/df64
+    kernels keep their exactness guarantees while every intermediate tree
+    product stays <= 1 in magnitude — overflow becomes impossible.  The
+    reference instead relies on double's 11-bit exponent
+    (its float/half-precision kernels overflow on the same suites).
+    The permanent is recovered as result * 2**sum(s).
+    """
+    ab = np.abs(np.asarray(a, dtype=np.float64))
+    xmax = ab[:, -1] + ab.sum(axis=1) / 2
+    s = np.ceil(np.log2(np.maximum(xmax, 2.0 ** -60)))
+    return np.clip(s, -60, 200).astype(np.int64)
+
+
+def colst_pack(a: np.ndarray, n_pad: int):
+    """(n_pad, nb_pad) transposed column tables, hi/lo f32 pair."""
+    n = a.shape[0]
+    nb_pad = -(-(n - 1) // 128) * 128   # lane-dim padding
+    cols = np.zeros((n_pad, nb_pad), dtype=np.float64)
+    cols[:n, : n - 1] = np.asarray(a, dtype=np.float64)[:, : n - 1]
+    hi, lo = split_f64(cols)
+    return hi, lo
+
+
+def ryser_exact(dense: DenseMatrix, flags, mesh=None,
+                chunk_ids: Optional[np.ndarray] = None,
+                extra_sum: float = 0.0) -> Result:
+    """Exact permanent of `dense`.
+
+    chunk_ids: optional pruned live-chunk list (sparse/SkipPer path);
+    extra_sum: pre-computed contribution of pruned-away index ranges
+    (always 0 — pruned chunks contribute exactly zero — kept for clarity).
+    """
+    a = np.asarray(dense.mat)
+    n = a.shape[0]
+    calc = flags.resolved_calc()
+    t0 = time.perf_counter()
+
+    if n <= 2:
+        from .oracle import perman_brute
+        p = perman_brute(a)
+        return Result(float(p), time.perf_counter() - t0,
+                      algo_name="ryser_exact", iterations=1)
+
+    if calc == "quad":
+        from .oracle import perman64
+        p = perman64(a, dtype=np.longdouble)
+        return Result(float(p), time.perf_counter() - t0,
+                      algo_name="ryser_quad_host", iterations=1 << (n - 1))
+
+    if calc == "f64" or n < 19:
+        from .ryser_xla import ryser_xla
+        import jax.numpy as jnp
+        dt = jnp.float64 if calc in ("f64", "df64") else jnp.float32
+        p = ryser_xla(a, dtype=dt)
+        return Result(float(p), time.perf_counter() - t0,
+                      algo_name=f"ryser_xla_{calc}",
+                      iterations=1 << (n - 1),
+                      meta={"calc": calc})
+
+    # ---- Pallas path (calc f32 / df64) ----
+    df = calc == "df64"
+    exact_storage = _exact_storage(dense)
+
+    # trivial zero: an empty row or column makes the permanent 0 and also
+    # breaks the row-scaling heuristic, so dispose of it here
+    if (np.count_nonzero(a, axis=1) == 0).any() or \
+       (np.count_nonzero(a, axis=0) == 0).any():
+        return Result(0.0, time.perf_counter() - t0,
+                      algo_name=f"ryser_pallas_{calc}", iterations=0,
+                      meta={"reason": "empty row/col"})
+
+    plan = gray.make_plan(n, flags.lanes, flags.chunk_log2)
+    if chunk_ids is None:
+        chunk_ids = np.arange(plan.num_chunks, dtype=np.int64)
+    live = len(chunk_ids)
+    if live == 0:
+        return Result(0.0, time.perf_counter() - t0,
+                      algo_name=f"ryser_pallas_{calc}", iterations=0,
+                      meta={"reason": "all chunks pruned"})
+
+    from ..parallel.sharding import pad_ids, compute_partials
+    num_shards = (int(np.prod(mesh.devices.shape))
+                  if mesh is not None else 1)
+    ids_blocks = pad_ids(np.asarray(chunk_ids, dtype=np.int64).astype(
+        np.int32), plan.lanes, num_shards)
+    interpret = jax.default_backend() != "tpu"
+
+    scales = _row_scales(a)
+    for attempt in range(3):
+        a_s = a.astype(np.float64) * np.exp2(-scales.astype(np.float64)
+                                             )[:, None]
+        x0_pair, cols_pair = gray.pack_matrix(a_s, plan.n_pad)
+        cth, ctl = colst_pack(a_s, plan.n_pad)
+        partials = compute_partials(
+            ids_blocks, x0_pair, cols_pair, cth, ctl, plan,
+            df=df, exact_storage=exact_storage, mesh=mesh,
+            interpret=interpret)
+        total = float(partials.sum(dtype=np.float64)) + extra_sum
+        # scaled sums far below 1 may have lost underflowed terms; shift
+        # the row scales to center the result near 2^0 and rerun (scaling
+        # is exact, so a rerun is a pure exponent adjustment)
+        if total != 0.0 and abs(total) > 2.0 ** -40:
+            break
+        bump = 120 if total == 0.0 else int(-np.log2(abs(total)) // n + 1)
+        # keep per-attempt growth below the overflow-safe budget (~2^120
+        # total head-room across the n-factor product)
+        per_row = max(1, min(bump, int(110 / n)))
+        scales = scales - per_row
+    E = float(scales.sum())
+    p = (4 * (n & 1) - 2) * total * (2.0 ** E)
+    dt = time.perf_counter() - t0
+    iters = live << plan.r
+    return Result(p, dt, algo_name=f"ryser_pallas_{calc}",
+                  iterations=iters,
+                  meta={"calc": calc, "chunks": live, "r": plan.r,
+                        "lanes": plan.lanes, "scale_log2": E,
+                        "mesh": None if mesh is None else num_shards,
+                        "iters_per_sec": iters / dt})

@@ -1,0 +1,164 @@
+"""TPU Pallas kernel for the exact Gray-code Ryser permanent.
+
+Design (TPU-first, not a CUDA translation): the reference tunes one CUDA
+kernel across five memory placements (gpu_exact_dense.cu kernels
+xglobal/xlocal/xshared/...); on TPU there is one placement that matters —
+matrix columns and per-lane x-vectors live in VMEM/vregs, and the Gray walk
+is vectorized across 8x128 VPU lanes.  Each lane owns one aligned chunk of
+2**r subset indices; chunk alignment makes the flipped column k = ctz(m)
+identical across lanes at every inner step m (see ops/gray.py), so the hot
+loop is pure vector arithmetic:
+
+    x (+)= s * col_k          # (n_pad, L) fused update
+    prod = tree_prod(x)       # log-depth product over the n axis
+    acc (+)= (-1)^m * prod
+
+Calc modes:
+  f32  — raw f32 (reference's calculation_half_precision, flags.h -h)
+  df64 — compensated f32-pair product/accumulator over an f32 x-vector;
+         matches the reference default (double accumulation over a float
+         x-vector, algo.h:664-746) to ~2^-48 relative.
+An `exact_storage` flag marks matrices whose values and half-integer x are
+exact in f32 (int suites): their x-updates stay plain f32 (exact), which is
+the common fast case.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import df64
+from .df64 import tree_prod_f32, tree_prod_df64
+
+
+_I32 = jnp.int32
+
+
+def _ctz(m):
+    """Count trailing zeros of a positive int32 scalar (< 2**31) via mask
+    tests on the isolated lowest bit.  Every constant is an explicit int32:
+    weak-typed scalars inside Mosaic kernels trigger an infinite promotion
+    recursion at lowering time (observed with jax 0.9.0)."""
+    t = m & (-m)
+    k = jnp.where((t & _I32(0x2AAAAAAA)) != _I32(0), _I32(1), _I32(0))
+    k = k + jnp.where((t & _I32(0x4CCCCCCC)) != _I32(0), _I32(2), _I32(0))
+    k = k + jnp.where((t & _I32(0x70F0F0F0)) != _I32(0), _I32(4), _I32(0))
+    k = k + jnp.where((t & _I32(0x7F00FF00)) != _I32(0), _I32(8), _I32(0))
+    k = k + jnp.where((t & _I32(0x7FFF0000)) != _I32(0), _I32(16), _I32(0))
+    return k
+
+
+def _ryser_kernel(xhi_ref, xlo_ref, smid_ref, colsthi_ref, colstlo_ref,
+                  out_ref, *, r: int, df: bool, exact_storage: bool):
+    n_pad, L = xhi_ref.shape
+    nb_pad = colsthi_ref.shape[1]
+    smid = smid_ref[:]                       # (1, L)
+    colst_hi = colsthi_ref[:]                # (n_pad, nb_pad): lane k = col k
+    colst_lo = colstlo_ref[:] if df and not exact_storage else None
+    lane_k = lax.broadcasted_iota(jnp.int32, (n_pad, nb_pad), 1)
+
+    xhi0 = xhi_ref[:]
+    xlo0 = xlo_ref[:] if df and not exact_storage else jnp.zeros_like(xhi0)
+
+    def prod_term(xhi, xlo):
+        if not df:
+            return tree_prod_f32(xhi), None
+        if exact_storage:
+            return tree_prod_df64(xhi)
+        # full df64 product of (hi + lo) pairs: fold lo into the level-1
+        # TwoProd by one df correction
+        h = n_pad // 2
+        phi, plo = df64.two_prod(xhi[:h], xhi[h:])
+        plo = plo + (xhi[:h] * xlo[h:] + xlo[:h] * xhi[h:])
+        phi, plo = df64.quick_two_sum(phi, plo)
+        s = h
+        while s > 1 and s % 2 == 0:
+            s //= 2
+            phi, plo = df64.df_mul(phi[:s], plo[:s], phi[s:], plo[s:])
+        if s == 5:
+            phi, plo = df64._prod5(phi, plo)
+        return phi, plo
+
+    # m = 0 term: base index is even -> sign +1
+    phi, plo = prod_term(xhi0, xlo0)
+    acc_hi = phi
+    acc_lo = plo if df else jnp.zeros_like(phi)
+
+    def body(m, carry):
+        xhi, xlo, acc_hi, acc_lo = carry
+        k = _ctz(m)
+        s_scalar = jnp.where(((m >> (k + _I32(1))) & _I32(1)) == _I32(0),
+                             jnp.float32(1), jnp.float32(-1))
+        # sign diverges per lane only at the mid step (k == r-1, where
+        # s_scalar is always +1 and the true sign is the chunk parity)
+        s_row = jnp.where(k == _I32(r - 1), smid, s_scalar)   # (1, L)
+        sel = (lane_k == k).astype(jnp.float32)
+        ck_hi = jnp.sum(colst_hi * sel, axis=1, keepdims=True)  # (n_pad, 1)
+        if df and not exact_storage:
+            ck_lo = jnp.sum(colst_lo * sel, axis=1, keepdims=True)
+            xhi, xlo = df64.df_add(xhi, xlo, ck_hi * s_row, ck_lo * s_row)
+        else:
+            xhi = xhi + ck_hi * s_row
+        phi, plo = prod_term(xhi, xlo)
+        sign_m = jnp.where((m & _I32(1)) == _I32(0),
+                           jnp.float32(1), jnp.float32(-1))
+        if df:
+            acc_hi, acc_lo = df64.df_add(acc_hi, acc_lo,
+                                         phi * sign_m, plo * sign_m)
+        else:
+            acc_hi = acc_hi + phi * sign_m
+        return xhi, xlo, acc_hi, acc_lo
+
+    # int32 loop bounds: Mosaic has no int64, and x64 mode would otherwise
+    # make the induction variable 64-bit
+    _, _, acc_hi, acc_lo = lax.fori_loop(
+        jnp.int32(1), jnp.int32(1 << r), body, (xhi0, xlo0, acc_hi, acc_lo))
+
+    pad = jnp.zeros((6, L), dtype=jnp.float32)
+    out_ref[:] = jnp.concatenate([acc_hi, acc_lo, pad], axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("r", "df", "exact_storage", "interpret"))
+def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
+                   exact_storage: bool, interpret: bool = False):
+    """Run the kernel over a block of chunks.
+
+    xhi/xlo: (B, n_pad, L) initialized lane x-vectors (hi/lo pair)
+    smid:    (B, 1, L) mid-step signs
+    colst_*: (n_pad, nb_pad) matrix columns, transposed (lane k = column k)
+    returns  (B, 8, L) f32; rows 0/1 are the hi/lo partial-sum pair.
+    """
+    B, n_pad, L = xhi.shape
+    kern = functools.partial(_ryser_kernel, r=r, df=df,
+                             exact_storage=exact_storage)
+    flops_per = 2 * n_pad * (10 if df else 1)
+    # One pallas program per block, sequenced with lax.map rather than a
+    # pallas grid (the axon remote Mosaic compiler rejects gridded kernels;
+    # XLA's while-loop around a single-program kernel pipelines the
+    # HBM->VMEM block transfers just as well).
+    call = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, L), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=L * (1 << r) * flops_per,
+            bytes_accessed=int(n_pad) * L * 4 * 3, transcendentals=0),
+        interpret=interpret,
+    )
+
+    def one_block(args):
+        bxhi, bxlo, bsmid = args
+        return call(bxhi, bxlo, bsmid, colst_hi, colst_lo)
+
+    return lax.map(one_block, (xhi, xlo, smid))

@@ -1,0 +1,74 @@
+"""Gray-code range sharding over the device mesh.
+
+TPU-native equivalent of the reference's L3 work distribution
+(SURVEY.md §2.4): chunks are distributed over a 1-D mesh with `shard_map`;
+per-device partial sums come back sharded and the final (exactness-critical)
+reduction happens on host in float64.  Because every chunk costs exactly
+2**r Gray steps — dead ranges are pruned *before* distribution rather than
+skipped *during* the walk (contrast the reference's SkipPer divergence,
+algo.h:885-1023) — a static equal split is load-balanced by construction,
+replacing the reference's OpenMP-critical-section chunk counter
+(gpu_exact_dense.cu:862-888) with something that also works across hosts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import gray
+from ..ops.ryser_pallas import ryser_partials
+from .mesh import RANGE_AXIS
+
+
+def pad_ids(ids: np.ndarray, lanes: int, num_shards: int):
+    """Pad a 1-D chunk-id list with -1 sentinels (dead lanes) so it reshapes
+    to (B, lanes) with B divisible by num_shards."""
+    per_block = lanes
+    blocks = -(-len(ids) // per_block)
+    blocks = -(-blocks // num_shards) * num_shards
+    padded = np.full(blocks * per_block, -1, dtype=np.int32)
+    padded[: len(ids)] = ids
+    return padded.reshape(blocks, per_block)
+
+
+def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
+                     colst_hi, colst_lo, plan: gray.RyserPlan, *,
+                     df: bool, exact_storage: bool,
+                     mesh: Optional[Mesh] = None,
+                     interpret: bool = False) -> np.ndarray:
+    """Run init + kernel over (B, L) chunk ids, optionally sharded.
+
+    Returns host float64 per-lane partial sums, shape (B, L).
+    """
+    n, n_pad, r = plan.n, plan.n_pad, plan.r
+    init_df = df and not exact_storage
+
+    def local(ids_blk, x0p, colsp, cth, ctl):
+        xhi, xlo, smid = gray.chunk_init(ids_blk, x0p, colsp,
+                                         n=n, n_pad=n_pad, r=r, df=init_df)
+        out = ryser_partials(xhi, xlo, smid, cth, ctl, r=r, df=df,
+                             exact_storage=exact_storage,
+                             interpret=interpret)
+        return out
+
+    args = (jnp.asarray(ids_blocks), jnp.asarray(x0_pair),
+            jnp.asarray(cols_pair), jnp.asarray(colst_hi),
+            jnp.asarray(colst_lo))
+    if mesh is None or np.prod(mesh.devices.shape) == 1:
+        out = local(*args)
+    else:
+        f = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(RANGE_AXIS), P(), P(), P(), P()),
+            out_specs=P(RANGE_AXIS),
+            check_vma=False)
+        out = jax.jit(f)(*args)
+    out = np.asarray(out, dtype=np.float64)      # (B, 8, L)
+    return out[:, 0, :] + out[:, 1, :]           # hi + lo, exact in f64

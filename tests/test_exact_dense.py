@@ -1,0 +1,49 @@
+"""Dense exact engine vs the numpy oracle (cross-algorithm agreement,
+the reference's primary test mechanism — SURVEY.md §4.1)."""
+
+import numpy as np
+import pytest
+
+import superman_tpu as sp
+from superman_tpu.ops.oracle import perman64, perman_brute
+from tests.conftest import random_int_matrix, random_float_matrix
+
+
+@pytest.mark.parametrize("n", [3, 6, 10])
+def test_small_matches_brute(rng, n):
+    a = random_int_matrix(rng, n, 0.6)
+    res = sp.permanent(a)
+    assert res.permanent == pytest.approx(perman_brute(a), rel=1e-12)
+
+
+@pytest.mark.parametrize("calc", ["f32", "df64", "f64"])
+def test_calc_modes_match_oracle_n22(rng, calc):
+    a = random_int_matrix(rng, 22, 0.4, vmax=3)
+    want = perman64(a)
+    res = sp.permanent(a, calc=calc)
+    rel = 2e-5 if calc == "f32" else 1e-12
+    assert res.permanent == pytest.approx(want, rel=rel)
+
+
+def test_pallas_kernel_path_n20(rng):
+    # n=20 hits the XLA path by default; force the Pallas path via chunk_log2
+    a = random_int_matrix(rng, 21, 0.5, vmax=2)
+    want = perman64(a)
+    got = sp.permanent(a, calc="df64", chunk_log2=6, lanes=256)
+    assert got.permanent == pytest.approx(want, rel=1e-12)
+    assert "pallas" in got.algo_name
+
+
+def test_float_matrix_df64(rng):
+    a = random_float_matrix(rng, 20, 0.5)
+    want = perman64(a)
+    got = sp.permanent(a, calc="df64", chunk_log2=5, lanes=256)
+    assert got.permanent == pytest.approx(want, rel=1e-10)
+
+
+def test_integer_exactness_df64(rng):
+    """df64 partial sums recombine to the exact integer permanent."""
+    a = random_int_matrix(rng, 16, 0.4, vmax=2)
+    want = perman_brute(a)  # python ints, bit-exact
+    got = sp.permanent(a, calc="df64", chunk_log2=5, lanes=512)
+    assert round(got.permanent) == want

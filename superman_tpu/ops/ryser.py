@@ -150,7 +150,7 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
         per_row = max(1, min(bump, int(110 / n)))
         scales = scales - per_row
     E = float(scales.sum())
-    p = (4 * (n & 1) - 2) * total * (2.0 ** E)
+    p = (4 * (n & 1) - 2) * total * (2.0 ** E) + 0.0   # +0.0 drops -0.0
     dt = time.perf_counter() - t0
     iters = live << plan.r
     return Result(p, dt, algo_name=f"ryser_pallas_{calc}",

@@ -31,6 +31,11 @@ def make_mesh(num_devices: Optional[int] = None,
     """1-D mesh over `num_devices` (default: all) devices."""
     devs = list(devices if devices is not None else jax.devices())
     if num_devices is not None:
+        if len(devs) < num_devices:
+            raise RuntimeError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devs)} devices are visible (for CPU testing set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N)")
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (RANGE_AXIS,))
 

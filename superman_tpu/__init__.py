@@ -22,7 +22,7 @@ from .core.result import Result
 from .core.matrix import DenseMatrix, SparseMatrix, matrix2compressed
 from .io.triplet import read_triplet, write_triplet
 from .io.matrixmarket import read_matrix_market, read_any
-from .api import permanent
+from .api import permanent, grid_permanent
 
 __version__ = "0.1.0"
 

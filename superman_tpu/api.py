@@ -18,6 +18,13 @@ from .core.matrix import DenseMatrix
 
 
 def _as_dense(m, flags: Flags) -> DenseMatrix:
+    if m is None:
+        if not flags.grid_graph:
+            raise ValueError("matrix is required unless grid_graph=True")
+        from .prep.gridgraph import grid_graph_matrix
+        dm = grid_graph_matrix(flags.gridm, flags.gridn)
+        flags.type = dm.type
+        return dm
     if isinstance(m, DenseMatrix):
         dm = m
     elif isinstance(m, str):
@@ -41,10 +48,13 @@ def _as_dense(m, flags: Flags) -> DenseMatrix:
     return dm
 
 
-def permanent(matrix: Union[np.ndarray, DenseMatrix, str], **overrides) -> Result:
+def permanent(matrix: Union[np.ndarray, DenseMatrix, str, None] = None,
+              **overrides) -> Result:
     """Compute the permanent of a square matrix.
 
-    matrix: array-like, DenseMatrix, or a path (triplet / MatrixMarket).
+    matrix: array-like, DenseMatrix, a path (triplet / MatrixMarket), or
+    None with grid_graph=True (count perfect matchings of a
+    gridm x gridn grid, reference RunPermanForGridGraphs).
     overrides: any `Flags` field, e.g. sparse=True, approximation=True,
     calc="f32", preprocessing=2, compression=True, scaling_threshold=1.0.
     """
@@ -55,4 +65,13 @@ def permanent(matrix: Union[np.ndarray, DenseMatrix, str], **overrides) -> Resul
     flags = Flags(**overrides)
     dm = _as_dense(matrix, flags)
     from .drivers.runner import run
-    return run(dm, flags)
+    res = run(dm, flags)
+    return res
+
+
+def grid_permanent(m: int, n: int, **overrides) -> Result:
+    """Number of perfect matchings of an m x n grid graph (reference -i)."""
+    overrides.setdefault("grid_graph", True)
+    overrides.setdefault("gridm", m)
+    overrides.setdefault("gridn", n)
+    return permanent(None, **overrides)

@@ -1,0 +1,139 @@
+"""Command-line driver.
+
+Parity: the reference CLI surface (README.md:21-38; v1 getopt loop
+main.cu:346-470; v2 main.cpp:1297-1476) with the same short flags,
+including -h as calculation-half-precision (use --help for help).  Output
+reproduces v2's canonical result line (main.cpp:1665):
+
+    Result || <algo> | <file> | <permanent %.16e> in <seconds>
+
+Algorithm ids are accepted for compatibility and mapped onto the engine:
+the reference's p0-p4 dense-exact memory-placement variants are ONE TPU
+kernel here; p5/p6 (multi-device static/chunked) select a mesh over all
+visible devices; p7/p8/p14/p17 (SkipPer) select the sparse pruned path.
+Approximation ids: 1/3 Rasmussen, 2/4 scaling (3/4 = multi-device).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .core.flags import Flags
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="perman", add_help=False,
+        description="TPU-native matrix permanent calculator "
+                    "(superman_tpu)")
+    p.add_argument("--help", action="help")
+    p.add_argument("-f", "--file", type=str, default=None)
+    p.add_argument("-p", "--perman", type=str, default="auto",
+                   help="algorithm id (reference-compatible) or name")
+    p.add_argument("-t", "--threads", type=int, default=16)
+    p.add_argument("-s", "--sparse", action="store_true")
+    p.add_argument("-b", "--binary", action="store_true")
+    p.add_argument("-g", "--gpu", action="store_true",
+                   help="run on the accelerator (TPU)")
+    p.add_argument("-c", "--cpu", action="store_true")
+    p.add_argument("-d", "--device", type=int, default=2,
+                   help="number of devices for multi-device algorithms")
+    p.add_argument("-a", "--approximation", action="store_true")
+    p.add_argument("-x", "--numOfTimes", type=int, default=100000)
+    p.add_argument("-y", "--scaleIntervals", type=int, default=4)
+    p.add_argument("-z", "--scaleTimes", type=int, default=5)
+    p.add_argument("-r", "--preprocessing", type=int, default=0,
+                   choices=(0, 1, 2))
+    p.add_argument("-i", "--grid", action="store_true")
+    p.add_argument("-m", "--gridm", type=int, default=36)
+    p.add_argument("-n", "--gridn", type=int, default=36)
+    p.add_argument("-h", "--halfprecision", action="store_true",
+                   help="calculate in f32 (reference -h)")
+    p.add_argument("-q", "--quadprecision", action="store_true")
+    p.add_argument("-w", "--storagehalf", action="store_true")
+    p.add_argument("-v", "--storagequad", action="store_true")
+    p.add_argument("-k", "--rep", type=int, default=1)
+    p.add_argument("-e", "--gridmultip", type=int, default=1)
+    p.add_argument("-o", "--compression", action="store_true")
+    p.add_argument("-u", "--scaling", type=float, default=-1.0,
+                   help="Sinkhorn scaling threshold (-1 = off)")
+    p.add_argument("-l", "--deviceid", type=int, default=0)
+    p.add_argument("--calc", type=str, default=None,
+                   choices=("f32", "df64", "f64", "quad"))
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+_MULTI_IDS = {"5", "6", "17"}
+_SKIPPER_IDS = {"7", "8", "14", "17"}
+_APPROX_NAMES = {"1": "rasmussen", "2": "scaling",
+                 "3": "rasmussen", "4": "scaling"}
+
+
+def flags_from_args(args) -> Flags:
+    algo = str(args.perman)
+    sparse = args.sparse
+    mesh_shape = None
+    if args.approximation:
+        algo = _APPROX_NAMES.get(algo, algo)
+        if str(args.perman) in ("3", "4"):
+            mesh_shape = (max(args.device, 2),)
+    else:
+        if algo in _SKIPPER_IDS:
+            sparse = True
+        if algo in _MULTI_IDS:
+            mesh_shape = (max(args.device, 2),)
+    return Flags(
+        cpu=args.cpu and not args.gpu,
+        gpu=not (args.cpu and not args.gpu),
+        dense=not sparse, sparse=sparse,
+        exact=not args.approximation, approximation=args.approximation,
+        binary_graph=args.binary,
+        grid_graph=args.grid, gridm=args.gridm, gridn=args.gridn,
+        perman_algo=algo, threads=args.threads,
+        calculation_half_precision=args.halfprecision,
+        calculation_quad_precision=args.quadprecision,
+        storage_half_precision=args.storagehalf,
+        storage_quad_precision=args.storagequad,
+        calc=args.calc,
+        number_of_times=args.numOfTimes,
+        scale_intervals=args.scaleIntervals, scale_times=args.scaleTimes,
+        preprocessing=args.preprocessing,
+        compression=args.compression, scaling_threshold=args.scaling,
+        gpu_num=args.device, device_id=args.deviceid,
+        rep=args.rep, grid_multip=args.gridmultip,
+        mesh_shape=mesh_shape, seed=args.seed,
+        filename=args.file or "",
+    )
+
+
+def print_flags(flags: Flags) -> None:
+    """Parity: print_flags (reference main.cpp:60-95)."""
+    print("*" * 72)
+    for k, v in sorted(vars(flags).items()):
+        print(f"  {k}: {v}")
+    print("*" * 72)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.file is None and not args.grid:
+        print("Error: -f/--file is required (or -i for grid graphs)",
+              file=sys.stderr)
+        return 1
+    flags = flags_from_args(args)
+    print_flags(flags)
+
+    from .api import permanent
+    overrides = {k: v for k, v in vars(flags).items()}
+    rc = 0
+    for _ in range(max(1, flags.rep)):
+        res = permanent(args.file, **overrides)
+        print(res.report_line(args.file or
+                              f"grid{flags.gridm}x{flags.gridn}"))
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,70 @@
+"""Recursive exact-compression driver.
+
+Parity: compress_and_calculate_recursive + compress_singleton_and_then_
+recurse (reference revised_perman/main.cpp:994-1094): strip degree-1/2
+lines to a fixed point, then while the minimum degree is < 5 and the matrix
+is larger than the compression floor, apply d1/d2 (recurse on one matrix)
+or d34 (recurse on TWO matrices and sum).  At the floor, dispatch to the
+scaling driver or the engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.matrix import DenseMatrix
+from ..core.result import Result
+from ..prep import compression as C
+
+# the reference stops compressing below 31 rows (main.cpp:1007)
+COMPRESSION_FLOOR = 30
+
+
+def _as_dm(a: np.ndarray, type_name: str) -> DenseMatrix:
+    return DenseMatrix(a, type_name)
+
+
+def compress_and_calculate_recursive(dense: DenseMatrix, flags) -> Result:
+    a = dense.mat
+    min_deg = C.min_degree(a) if a.size else 0
+    if C.min_degree(a) < 5 and a.shape[0] > COMPRESSION_FLOOR:
+        if min_deg == 0:
+            return Result(0.0, 0.0, algo_name="compressed_zero")
+        if min_deg == 1:
+            out = C.d1compress(a)
+            return compress_and_calculate_recursive(
+                _as_dm(out, dense.type), flags)
+        if min_deg == 2:
+            out = C.d2compress(a)
+            return compress_and_calculate_recursive(
+                _as_dm(out, dense.type), flags)
+        pair = C.d34compress(a, min_deg)
+        if pair is not None:
+            m1, m2 = pair
+            return (compress_and_calculate_recursive(_as_dm(m1, dense.type),
+                                                     flags) +
+                    compress_and_calculate_recursive(_as_dm(m2, dense.type),
+                                                     flags))
+
+    if flags.scaling_threshold != -1.0:
+        from .scale_driver import scale_and_calculate
+        return scale_and_calculate(dense, flags, compressing=True)
+    from .runner import run_algo
+    return run_algo(dense, flags)
+
+
+def compress_singleton_and_then_recurse(dense: DenseMatrix, flags) -> Result:
+    """d1/d2 to a fixed point first (cheap, always wins), then recurse."""
+    a = dense.mat
+    changed = True
+    while changed and a.shape[0] > 1:
+        changed = False
+        out = C.d1compress(a)
+        if out is None:
+            out = C.d2compress(a)
+        if out is not None:
+            a = out
+            changed = True
+            if a.size and C.has_empty_line(a):
+                return Result(0.0, 0.0, algo_name="rank_deficient_zero")
+    return compress_and_calculate_recursive(_as_dm(a, dense.type), flags)

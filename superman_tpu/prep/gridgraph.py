@@ -1,0 +1,43 @@
+"""Grid-graph perfect-matching counting via permanents.
+
+Parity: gridGraph2compressed + RunPermanForGridGraphs (reference
+util.h:403-520, main.cu:250-323): the number of perfect matchings of an
+m x n grid graph equals the permanent of the black/white biadjacency
+matrix of its checkerboard bipartition (size mn/2).  The reference demands
+one even dimension (odd x odd has no perfect matching) — same here.
+
+Construction is our own: cells colored by (i+j) parity, indexed row-major
+within each color; B[black, white] = 1 for 4-neighbour adjacency.  Any
+row/column permutation of the reference's matrix has the same permanent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.matrix import DenseMatrix
+
+
+def grid_graph_matrix(m: int, n: int) -> DenseMatrix:
+    if (m * n) % 2 == 1:
+        raise ValueError(
+            "one of the grid dimensions must be even (odd x odd grids have "
+            "no perfect matching)")
+    cells = [(i, j) for i in range(m) for j in range(n)]
+    black = [c for c in cells if (c[0] + c[1]) % 2 == 0]
+    white = [c for c in cells if (c[0] + c[1]) % 2 == 1]
+    widx = {c: k for k, c in enumerate(white)}
+    nov = m * n // 2
+    a = np.zeros((nov, nov), dtype=np.int64)
+    for bi, (i, j) in enumerate(black):
+        for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            w = (i + di, j + dj)
+            if w in widx:
+                a[bi, widx[w]] = 1
+    return DenseMatrix(a, "int")
+
+
+# known perfect-matching counts of small grids, for tests
+# (classic values: 2x2 -> 2, 2x3 -> 3, 4x4 -> 36, 2x4 -> 5, 3x4 -> 11)
+KNOWN_COUNTS = {(2, 2): 2, (2, 3): 3, (2, 4): 5, (3, 4): 11, (4, 4): 36,
+                (6, 6): 6728}

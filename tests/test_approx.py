@@ -1,0 +1,55 @@
+"""Monte-Carlo estimators vs exact values (reference README: both
+estimators are for binary matrices; estimates should land within a few
+percent at 20-50k trials on small matrices)."""
+
+import numpy as np
+import pytest
+
+import superman_tpu as sp
+from superman_tpu.ops.oracle import perman_brute
+from superman_tpu.prep.gridgraph import grid_graph_matrix, KNOWN_COUNTS
+
+
+def test_rasmussen_converges(rng):
+    a = (rng.random((10, 10)) < 0.6).astype(np.int64)
+    np.fill_diagonal(a, 1)
+    want = perman_brute(a)
+    r = sp.permanent(a, approximation=True, perman_algo="rasmussen",
+                     number_of_times=40000, seed=1)
+    assert r.permanent == pytest.approx(want, rel=0.25)
+    assert r.zeros >= 0
+
+
+def test_scaling_estimator_converges(rng):
+    a = (rng.random((10, 10)) < 0.6).astype(np.int64)
+    np.fill_diagonal(a, 1)
+    want = perman_brute(a)
+    r = sp.permanent(a, approximation=True, perman_algo="scaling",
+                     number_of_times=20000, seed=2,
+                     scale_intervals=4, scale_times=5)
+    assert r.permanent == pytest.approx(want, rel=0.15)
+
+
+def test_grid_graph_matrix_counts():
+    for (m, n), count in KNOWN_COUNTS.items():
+        if m * n <= 24:
+            a = grid_graph_matrix(m, n).mat
+            assert perman_brute(a) == count, (m, n)
+
+
+def test_grid_graph_driver():
+    # exact path on the 4x4 grid: 36 perfect matchings
+    r = sp.grid_permanent(4, 4)
+    assert round(r.permanent) == 36
+
+
+def test_grid_graph_approx():
+    r = sp.grid_permanent(4, 4, approximation=True,
+                          perman_algo="scaling", number_of_times=20000,
+                          seed=3)
+    assert r.permanent == pytest.approx(36, rel=0.2)
+
+
+def test_odd_grid_rejected():
+    with pytest.raises(ValueError):
+        sp.grid_permanent(3, 3)

@@ -1,0 +1,88 @@
+"""Reader/writer parity for both matrix formats + CLI smoke tests."""
+
+import numpy as np
+import pytest
+
+import superman_tpu as sp
+from superman_tpu.core.matrix import DenseMatrix, matrix2compressed
+from superman_tpu.io.triplet import read_triplet, write_triplet
+from superman_tpu.io.matrixmarket import read_matrix_market
+from tests.conftest import random_int_matrix
+
+
+def test_triplet_roundtrip(rng, tmp_path):
+    a = random_int_matrix(rng, 8, 0.5)
+    p = str(tmp_path / "m.txt")
+    write_triplet(p, DenseMatrix(a, "int"))
+    dm = read_triplet(p)
+    assert dm.type == "int"
+    assert (dm.mat == a).all()
+
+
+def test_triplet_binary_flag(rng, tmp_path):
+    a = random_int_matrix(rng, 6, 0.5, vmax=9)
+    p = str(tmp_path / "m.txt")
+    write_triplet(p, DenseMatrix(a, "int"))
+    dm = read_triplet(p, binary_graph=True)
+    assert set(np.unique(dm.mat)) <= {0, 1}
+    assert ((dm.mat != 0) == (a != 0)).all()
+
+
+def test_reference_triplet_files_parse():
+    dm = read_triplet("/root/reference/int/30_0.10_0")
+    assert dm.nov == 30 and dm.type == "int" and dm.nnz > 0
+    dd = read_triplet("/root/reference/double/30_0.10_0")
+    assert dd.type == "double"
+
+
+def test_reference_mtx_parse():
+    dm = read_matrix_market(
+        "/root/reference/revised_perman/erdos_int/30_0.10_0.mtx")
+    assert dm.nov == 30 and dm.type == "int"
+    # symmetric pattern file
+    sym = read_matrix_market(
+        "/root/reference/revised_perman/elektrik_matrices/known_perman/"
+        "chesapeake.mtx")
+    assert (sym.mat == sym.mat.T).all()
+
+
+def test_mtx_matches_v1_triplet():
+    """erdos_int/*.mtx are the MatrixMarket versions of int/* suites."""
+    a = read_triplet("/root/reference/int/30_0.20_0").mat
+    b = read_matrix_market(
+        "/root/reference/revised_perman/erdos_int/30_0.20_0.mtx").mat
+    assert (a == b).all()
+
+
+def test_ccs_crs_views(rng):
+    a = random_int_matrix(rng, 7, 0.4)
+    sm = matrix2compressed(DenseMatrix(a, "int"))
+    back = np.zeros_like(a)
+    for j in range(7):
+        for p in range(sm.cptrs[j], sm.cptrs[j + 1]):
+            back[sm.rows[p], j] = sm.cvals[p]
+    assert (back == a).all()
+    back2 = np.zeros_like(a)
+    for i in range(7):
+        for p in range(sm.rptrs[i], sm.rptrs[i + 1]):
+            back2[i, sm.cols[p]] = sm.rvals[p]
+    assert (back2 == a).all()
+
+
+def test_cli_smoke(rng, tmp_path, capsys):
+    from superman_tpu.cli import main
+    a = random_int_matrix(rng, 10, 0.6)
+    np.fill_diagonal(a, 1)
+    p = str(tmp_path / "m.txt")
+    write_triplet(p, DenseMatrix(a, "int"))
+    assert main(["-f", p, "-p", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "Result ||" in out
+    from superman_tpu.ops.oracle import perman_brute
+    val = float(out.split("Result ||")[1].split("|")[2].split("in")[0])
+    assert val == pytest.approx(perman_brute(a), rel=1e-9)
+
+
+def test_cli_requires_file(capsys):
+    from superman_tpu.cli import main
+    assert main([]) == 1

@@ -1,0 +1,102 @@
+"""Preprocessing/transform invariants: every transform preserves the
+permanent exactly (checked against the brute-force oracle)."""
+
+import numpy as np
+import pytest
+
+from superman_tpu.ops.oracle import perman_brute, perman64
+from superman_tpu.prep import compression as C
+from superman_tpu.prep.orderings import apply_preprocessing, skip_order
+from superman_tpu.prep.dulmage_mendelsohn import dm_prune
+from superman_tpu.prep.scaling import scalesk, scale_matrix, \
+    unscale_permanent
+from superman_tpu.core.matrix import DenseMatrix
+from tests.conftest import random_int_matrix
+
+
+def _sparse_with_low_degrees(rng, n=12):
+    a = random_int_matrix(rng, n, 0.25, vmax=3)
+    a[0] = 0; a[0, 3] = 2                     # degree-1 row
+    a[:, 0] = 0; a[2, 0] = 1; a[5, 0] = 3      # degree-2 column
+    return a
+
+
+@pytest.mark.parametrize("prep", [1, 2])
+def test_orderings_preserve_permanent(rng, prep):
+    a = random_int_matrix(rng, 10, 0.4)
+    dm = apply_preprocessing(DenseMatrix(a, "int"), prep)
+    assert perman_brute(dm.mat) == perman_brute(a)
+
+
+def test_d1_d2_preserve(rng):
+    a = _sparse_with_low_degrees(rng)
+    want = perman_brute(a)
+    a1 = C.d1compress(a)
+    assert a1 is not None and perman_brute(a1) == want
+    a2 = C.d2compress(a1)
+    if a2 is not None:
+        assert perman_brute(a2) == want
+
+
+def test_d34_preserves(rng):
+    for deg in (3, 4):
+        for trial in range(5):
+            a = random_int_matrix(rng, 10, 0.45, vmax=2)
+            degs = (a != 0).sum(axis=1)
+            if not (degs == deg).any() or C.min_degree(a) == 0:
+                continue
+            pair = C.d34compress(a, deg)
+            if pair is None:
+                continue
+            m1, m2 = pair
+            assert perman_brute(m1) + perman_brute(m2) == perman_brute(a)
+
+
+def test_dm_prune_preserves(rng):
+    a = (rng.random((10, 10)) < 0.3).astype(np.int64)
+    np.fill_diagonal(a, 1)                    # guarantee a perfect matching
+    out = dm_prune(a)
+    assert out is not None
+    assert perman_brute(out) == perman_brute(a)
+    assert (out != 0).sum() <= (a != 0).sum()
+
+
+def test_dm_detects_zero_permanent():
+    a = np.zeros((4, 4), dtype=np.int64)
+    a[:, 0] = 1                                # rank-1 support
+    assert dm_prune(a) is None
+
+
+def test_sinkhorn_scaling_exact(rng):
+    a = random_int_matrix(rng, 9, 0.6, vmax=4).astype(np.float64)
+    np.fill_diagonal(a, 1)
+    want = perman_brute(a)
+    sc = scalesk(a, scaling_threshold=1.0)
+    scaled = scale_matrix(DenseMatrix(a, "double"), sc)
+    got = unscale_permanent(perman64(scaled.mat), sc)
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_compression_driver_end_to_end(rng):
+    import superman_tpu as sp
+    a = random_int_matrix(rng, 12, 0.3, vmax=2)
+    np.fill_diagonal(a, 1)
+    want = perman_brute(a)
+    got = sp.permanent(a, compression=True)
+    assert got.permanent == pytest.approx(want, rel=1e-9)
+
+
+def test_scaling_driver_end_to_end(rng):
+    import superman_tpu as sp
+    a = random_int_matrix(rng, 11, 0.5, vmax=3)
+    np.fill_diagonal(a, 1)
+    want = perman_brute(a)
+    got = sp.permanent(a, scaling_threshold=1.0)
+    assert got.permanent == pytest.approx(want, rel=1e-8)
+
+
+def test_skip_order_is_permutation(rng):
+    a = random_int_matrix(rng, 15, 0.3)
+    rp, cp = skip_order(a)
+    assert sorted(rp) == list(range(15))
+    assert sorted(cp) == list(range(15))

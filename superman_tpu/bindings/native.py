@@ -1,0 +1,107 @@
+"""ctypes bindings to the native CPU engine.
+
+Parity: the libConnect.so surface (reference interface_connector.c:61-231 +
+superPython.py): `read_calculate_return`, `matlab_calculate_return_int`,
+`matlab_calculate_return_double`, `connect` — plus direct entry points for
+each engine (dense/sparse/skipper exact, Rasmussen, scaling estimator).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..core.matrix import DenseMatrix
+from ..core.result import Result
+
+_lib = None
+
+
+def load() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        from ..native.build import build
+        lib = ctypes.CDLL(build())
+        D = ctypes.c_double
+        I = ctypes.c_int
+        LL = ctypes.c_longlong
+        U = ctypes.c_ulonglong
+        dp = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.sup_perman_dense.restype = D
+        lib.sup_perman_dense.argtypes = [dp, I, I, I]
+        lib.sup_perman_sparse.restype = D
+        lib.sup_perman_sparse.argtypes = [dp, I, I]
+        lib.sup_perman_skipper.restype = D
+        lib.sup_perman_skipper.argtypes = [dp, I, I]
+        lib.sup_rasmussen.restype = D
+        lib.sup_rasmussen.argtypes = [dp, I, LL, I, U,
+                                      ctypes.POINTER(D)]
+        lib.sup_approx_scaling.restype = D
+        lib.sup_approx_scaling.argtypes = [dp, I, LL, I, I, I, U,
+                                           ctypes.POINTER(D)]
+        lib.read_calculate_return.restype = D
+        lib.read_calculate_return.argtypes = [ctypes.c_char_p, I, I, I, I, I]
+        lib.connect.restype = None
+        _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    try:
+        load()
+        return True
+    except Exception:
+        return False
+
+
+def read_calculate_return(filename: str, algorithm: int, nt: int = 16,
+                          x: int = 100000, y: int = 4, z: int = 5) -> float:
+    """Reference superPython entry point (superPython.py:21-29)."""
+    return float(load().read_calculate_return(
+        filename.encode(), algorithm, nt, x, y, z))
+
+
+def perman_native(dense: DenseMatrix, flags) -> Result:
+    """Route a flags-configured run to the native CPU engine."""
+    lib = load()
+    a = np.ascontiguousarray(dense.mat, dtype=np.float64)
+    n = dense.nov
+    nt = int(flags.threads)
+    t0 = time.perf_counter()
+    zeros = ctypes.c_double(0.0)
+    if flags.approximation:
+        algo = str(flags.perman_algo)
+        if algo in ("rasmussen", "1", "3"):
+            p = lib.sup_rasmussen(a, n, int(flags.number_of_times), nt,
+                                  int(flags.seed) + 12345,
+                                  ctypes.byref(zeros))
+            name = "cpu_rasmussen"
+        else:
+            p = lib.sup_approx_scaling(a, n, int(flags.number_of_times),
+                                       int(flags.scale_intervals),
+                                       int(flags.scale_times), nt,
+                                       int(flags.seed) + 12345,
+                                       ctypes.byref(zeros))
+            name = "cpu_approx_scaling"
+        iters = int(flags.number_of_times)
+    elif flags.sparse:
+        if flags.preprocessing == 2 or str(flags.perman_algo) in (
+                "2", "3", "skipper"):
+            p = lib.sup_perman_skipper(a, n, nt)
+            name = "cpu_skipper"
+        else:
+            p = lib.sup_perman_sparse(a, n, nt)
+            name = "cpu_sparyser"
+        iters = 1 << (n - 1)
+    else:
+        p = lib.sup_perman_dense(a, n, nt,
+                                 1 if flags.calculation_quad_precision else 0)
+        name = "cpu_ryser"
+        iters = 1 << (n - 1)
+    dt = time.perf_counter() - t0
+    return Result(float(p), dt, algo_name=name, zeros=int(zeros.value),
+                  iterations=iters,
+                  meta={"threads": nt, "iters_per_sec": iters / max(dt, 1e-9)})

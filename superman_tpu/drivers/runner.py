@@ -35,9 +35,12 @@ def run_algo(dense: DenseMatrix, flags: Flags) -> Result:
 
     if flags.cpu and not flags.gpu:
         from ..bindings.native import native_available, perman_native
-        if native_available() and flags.resolved_calc() != "f64":
-            return perman_native(dense, flags)
-        # fall through to the XLA-CPU engine
+        from ..prep.orderings import apply_preprocessing
+        if native_available() and flags.resolved_calc() != "quad":
+            dm = apply_preprocessing(dense, flags.preprocessing) \
+                if flags.sparse else dense
+            return perman_native(dm, flags)
+        # no compiler (or quad parity requested): host longdouble/XLA path
 
     # exact accelerator path
     from ..prep.orderings import apply_preprocessing

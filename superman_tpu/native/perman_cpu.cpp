@@ -1,0 +1,566 @@
+// perman_cpu.cpp — native OpenMP CPU engine for superman_tpu.
+//
+// Host-side counterpart of the TPU Pallas engine, covering the reference's
+// CPU algorithm menu (algo.h: parallel_perman64, parallel_perman64_sparse,
+// parallel_skip_perman64_w[_balanced], rasmussen, approximation_perman64)
+// and the libConnect.so C facade (interface_connector.c).  The
+// implementation is our own: the Gray-code walk uses the same
+// aligned-chunk decomposition as the TPU kernel (any chunk starts cold
+// from gray(base)), work is distributed with a std::atomic chunk counter
+// (replacing OpenMP critical sections), and estimator RNG is a per-thread
+// PCG stream rather than rand().
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC perman_cpu.cpp
+//        -o libsuperman_cpu.so
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#else
+static int omp_get_max_threads() { return 1; }
+#endif
+
+namespace {
+
+using std::uint64_t;
+
+// ---------------------------------------------------------------- helpers
+
+struct Sparse {
+  int n = 0;
+  // per column: rows+vals; per row: cols+vals
+  std::vector<int> cptr, crow, rptr, rcol;
+  std::vector<double> cval, rval;
+};
+
+Sparse to_sparse(const double* a, int n) {
+  Sparse s;
+  s.n = n;
+  s.cptr.assign(n + 1, 0);
+  s.rptr.assign(n + 1, 0);
+  for (int j = 0; j < n; j++) {
+    s.cptr[j] = (int)s.crow.size();
+    for (int i = 0; i < n; i++)
+      if (a[i * n + j] != 0.0) { s.crow.push_back(i); s.cval.push_back(a[i * n + j]); }
+  }
+  s.cptr[n] = (int)s.crow.size();
+  for (int i = 0; i < n; i++) {
+    s.rptr[i] = (int)s.rcol.size();
+    for (int j = 0; j < n; j++)
+      if (a[i * n + j] != 0.0) { s.rcol.push_back(j); s.rval.push_back(a[i * n + j]); }
+  }
+  s.rptr[n] = (int)s.rcol.size();
+  return s;
+}
+
+template <class F>
+void init_x(const double* a, int n, F* x) {
+  for (int i = 0; i < n; i++) {
+    F rs = 0;
+    for (int j = 0; j < n; j++) rs += (F)a[i * n + j];
+    x[i] = (F)a[i * n + (n - 1)] - rs / 2;
+  }
+}
+
+// x(gray(base)) for an aligned chunk base; returns the x vector
+template <class F>
+void x_at(const double* a, int n, const F* x0, uint64_t base, F* x) {
+  std::memcpy(x, x0, sizeof(F) * n);
+  uint64_t g = base ^ (base >> 1);
+  for (int k = 0; k < n - 1; k++)
+    if ((g >> k) & 1ull)
+      for (int i = 0; i < n; i++) x[i] += (F)a[i * n + k];
+}
+
+struct pcg32 {
+  uint64_t state, inc;
+  explicit pcg32(uint64_t seed, uint64_t seq = 1)
+      : state(seed + 0x853c49e6748fea9bULL), inc((seq << 1u) | 1u) { next(); }
+  uint32_t next() {
+    uint64_t old = state;
+    state = old * 6364136223846793005ULL + inc;
+    uint32_t xs = (uint32_t)(((old >> 18u) ^ old) >> 27u);
+    uint32_t rot = (uint32_t)(old >> 59u);
+    return (xs >> rot) | (xs << ((-rot) & 31));
+  }
+  double uniform() { return next() * (1.0 / 4294967296.0); }
+  uint32_t below(uint32_t bound) { return next() % bound; }
+};
+
+int pick_threads(int nt) {
+  if (nt <= 0) nt = omp_get_max_threads();
+  return nt;
+}
+
+}  // namespace
+
+extern "C" {
+
+// --------------------------------------------------------- exact: dense
+
+// Chunked-dynamic dense Gray-code Ryser.  calc: 0 = double, 1 = long double.
+double sup_perman_dense(const double* a, int n, int threads, int calc_quad) {
+  if (n == 0) return 1.0;
+  if (n == 1) return a[0];
+  threads = pick_threads(threads);
+  const uint64_t total = 1ull << (n - 1);
+  int r = n - 1;                       // chunk log2
+  uint64_t want_chunks = (uint64_t)threads * 64u;
+  while (r > 1 && (total >> (r - 1)) <= want_chunks) r--;
+  while ((total >> r) < 1) r--;
+  const uint64_t nchunks = total >> r;
+  const uint64_t csz = 1ull << r;
+
+  std::atomic<uint64_t> next{0};
+  std::vector<long double> partial(threads, 0.0L);
+
+#pragma omp parallel num_threads(threads)
+  {
+#ifdef _OPENMP
+    int tid = omp_get_thread_num();
+#else
+    int tid = 0;
+#endif
+    std::vector<double> x0(n), x(n);
+    init_x(a, n, x0.data());
+    long double sum = 0.0L;
+    uint64_t c;
+    while ((c = next.fetch_add(1, std::memory_order_relaxed)) < nchunks) {
+      const uint64_t base = c << r;
+      x_at(a, n, x0.data(), base, x.data());
+      double prod = 1.0;
+      for (int i = 0; i < n; i++) prod *= x[i];
+      long double local = prod;        // m = 0 term, base even -> +
+      uint64_t gray = base ^ (base >> 1);
+      for (uint64_t m = 1; m < csz; m++) {
+        const uint64_t i = base + m;
+        const int k = __builtin_ctzll(i);
+        gray ^= (1ull << k);
+        const double s = ((gray >> k) & 1ull) ? 1.0 : -1.0;
+        prod = 1.0L;
+        for (int j = 0; j < n; j++) {
+          x[j] += s * a[j * n + k];
+          prod *= x[j];
+        }
+        local += (i & 1ull) ? -prod : prod;
+      }
+      sum += local;
+    }
+    partial[tid] = sum;
+  }
+  long double p = 0.0L;
+  for (auto v : partial) p += v;
+  (void)calc_quad;
+  return (double)((long double)(4 * (n & 1) - 2) * p);
+}
+
+// --------------------------------------------------------- exact: sparse
+
+// SpaRyser: incremental x updates through the column structure with
+// divide-out/multiply-in running product and zero counting.
+double sup_perman_sparse(const double* a, int n, int threads) {
+  if (n <= 1) return n ? a[0] : 1.0;
+  threads = pick_threads(threads);
+  Sparse s = to_sparse(a, n);
+  const uint64_t total = 1ull << (n - 1);
+  int r = n - 1;
+  uint64_t want_chunks = (uint64_t)threads * 256u;
+  while (r > 1 && (total >> (r - 1)) <= want_chunks) r--;
+  const uint64_t nchunks = total >> r, csz = 1ull << r;
+
+  std::atomic<uint64_t> next{0};
+  std::vector<long double> partial(threads, 0.0L);
+
+#pragma omp parallel num_threads(threads)
+  {
+#ifdef _OPENMP
+    int tid = omp_get_thread_num();
+#else
+    int tid = 0;
+#endif
+    std::vector<double> x0(n), x(n);
+    init_x(a, n, x0.data());
+    long double sum = 0.0L;
+    uint64_t c;
+    while ((c = next.fetch_add(1, std::memory_order_relaxed)) < nchunks) {
+      const uint64_t base = c << r;
+      x_at(a, n, x0.data(), base, x.data());
+      double prod = 1.0;
+      int nzero = 0;
+      for (int i = 0; i < n; i++) {
+        if (x[i] == 0.0) nzero++; else prod *= x[i];
+      }
+      long double local = (nzero == 0) ? prod : 0.0L;
+      uint64_t gray = base ^ (base >> 1);
+      for (uint64_t m = 1; m < csz; m++) {
+        const uint64_t i = base + m;
+        const int k = __builtin_ctzll(i);
+        gray ^= (1ull << k);
+        const double sgn = ((gray >> k) & 1ull) ? 1.0 : -1.0;
+        for (int p = s.cptr[k]; p < s.cptr[k + 1]; p++) {
+          const int row = s.crow[p];
+          const double old = x[row];
+          const double nu = old + sgn * s.cval[p];
+          if (old == 0.0) nzero--; else prod /= old;
+          if (nu == 0.0) nzero++; else prod *= nu;
+          x[row] = nu;
+        }
+        if (nzero == 0) local += (i & 1ull) ? -prod : prod;
+      }
+      sum += local;
+    }
+    partial[tid] = sum;
+  }
+  long double p = 0.0L;
+  for (auto v : partial) p += v;
+  return (double)((long double)(4 * (n & 1) - 2) * p);
+}
+
+// SkipPer: like sparse, but when the product is pinned at zero by a zero
+// row, jump directly to the next index where any column adjacent to that
+// row flips (gray bit c of index i flips at i ≡ 2^c (mod 2^(c+1))).
+double sup_perman_skipper(const double* a, int n, int threads) {
+  if (n <= 1) return n ? a[0] : 1.0;
+  threads = pick_threads(threads);
+  Sparse s = to_sparse(a, n);
+  const uint64_t total = 1ull << (n - 1);
+  const uint64_t nchunks = std::min<uint64_t>(4096, total);
+  const uint64_t csz = (total + nchunks - 1) / nchunks;
+
+  std::atomic<uint64_t> nextc{0};
+  std::vector<long double> partial(threads, 0.0L);
+
+#pragma omp parallel num_threads(threads)
+  {
+#ifdef _OPENMP
+    int tid = omp_get_thread_num();
+#else
+    int tid = 0;
+#endif
+    std::vector<double> x0(n), x(n);
+    init_x(a, n, x0.data());
+    long double sum = 0.0L;
+    uint64_t c;
+    while ((c = nextc.fetch_add(1, std::memory_order_relaxed)) < nchunks) {
+      uint64_t i = c * csz;
+      const uint64_t end = std::min(total, i + csz);
+      if (i >= end) continue;
+      uint64_t prev_gray = 0;
+      std::memcpy(x.data(), x0.data(), sizeof(double) * n);
+      long double local = 0.0L;
+      bool first = true;
+      while (i < end) {
+        const uint64_t gray = i ^ (i >> 1);
+        uint64_t diff = prev_gray ^ gray;
+        while (diff) {
+          const int k = __builtin_ctzll(diff);
+          diff &= diff - 1;
+          const double sgn = ((gray >> k) & 1ull) ? 1.0 : -1.0;
+          for (int p = s.cptr[k]; p < s.cptr[k + 1]; p++)
+            x[s.crow[p]] += sgn * (long double)s.cval[p];
+        }
+        prev_gray = gray;
+        (void)first;
+        first = false;
+        double prod = 1.0;
+        int zrow = -1;
+        for (int j = n - 1; j >= 0; j--) {
+          prod *= x[j];
+          if (x[j] == 0.0L) { zrow = j; break; }
+        }
+        if (zrow < 0) {
+          local += (i & 1ull) ? -prod : prod;
+          i++;
+        } else {
+          // next index where a column adjacent to zrow flips
+          uint64_t ni = ~0ull;
+          for (int p = s.rptr[zrow]; p < s.rptr[zrow + 1]; p++) {
+            const int cidx = s.rcol[p];
+            if (cidx >= n - 1) continue;
+            const uint64_t step = 1ull << cidx, period = step << 1;
+            uint64_t cand = step;
+            if (i >= step) cand = step + ((i - step) / period + 1) * period;
+            if (cand < ni) ni = cand;
+          }
+          i++;
+          if (ni > i) i = ni;
+        }
+      }
+      sum += local;
+    }
+    partial[tid] = sum;
+  }
+  long double p = 0.0L;
+  for (auto v : partial) p += v;
+  return (double)((long double)(4 * (n & 1) - 2) * p);
+}
+
+// -------------------------------------------------------- approximation
+
+// Rasmussen estimator (min-degree heuristic), binary support matrix.
+double sup_rasmussen(const double* a, int n, long long trials, int threads,
+                     unsigned long long seed, double* zeros_out) {
+  threads = pick_threads(threads);
+  std::vector<double> partial(threads, 0.0);
+  std::vector<double> zeros(threads, 0.0);
+#pragma omp parallel num_threads(threads)
+  {
+#ifdef _OPENMP
+    int tid = omp_get_thread_num();
+#else
+    int tid = 0;
+#endif
+    pcg32 rng(seed, (uint64_t)tid * 2 + 1);
+    std::vector<int> nnz(n);
+    double acc = 0, zc = 0;
+#pragma omp for schedule(static)
+    for (long long t = 0; t < trials; t++) {
+      uint64_t colm = (n >= 64) ? ~0ull : ((1ull << n) - 1), rowm = colm;
+      for (int i = 0; i < n; i++) {
+        nnz[i] = 0;
+        for (int j = 0; j < n; j++) nnz[i] += (a[i * n + j] != 0.0);
+      }
+      double logp = 0.0;
+      bool dead = false;
+      for (int step = 0; step < n && !dead; step++) {
+        int row = -1, best = n + 1;
+        for (int i = 0; i < n; i++)
+          if ((rowm >> i) & 1ull)
+            if (nnz[i] < best) { best = nnz[i]; row = i; }
+        if (best <= 0) { dead = true; break; }
+        logp += std::log2((double)best);
+        int pick = (int)rng.below((uint32_t)best), col = -1;
+        for (int j = 0; j < n; j++)
+          if (((colm >> j) & 1ull) && a[row * n + j] != 0.0)
+            if (pick-- == 0) { col = j; break; }
+        colm &= ~(1ull << col);
+        rowm &= ~(1ull << row);
+        for (int i = 0; i < n; i++)
+          if (((rowm >> i) & 1ull) && a[i * n + col] != 0.0) nnz[i]--;
+      }
+      if (dead) zc += 1.0; else acc += std::exp2(logp);
+    }
+    partial[tid] = acc;
+    zeros[tid] = zc;
+  }
+  double total = 0, z = 0;
+  for (int t = 0; t < threads; t++) { total += partial[t]; z += zeros[t]; }
+  if (zeros_out) *zeros_out = z;
+  return total / (double)trials;
+}
+
+// Sinkhorn-scaling-guided estimator.
+double sup_approx_scaling(const double* a, int n, long long trials,
+                          int scale_intervals, int scale_times, int threads,
+                          unsigned long long seed, double* zeros_out) {
+  threads = pick_threads(threads);
+  std::vector<double> partial(threads, 0.0), zeros(threads, 0.0);
+#pragma omp parallel num_threads(threads)
+  {
+#ifdef _OPENMP
+    int tid = omp_get_thread_num();
+#else
+    int tid = 0;
+#endif
+    pcg32 rng(seed ^ 0x9e3779b97f4a7c15ULL, (uint64_t)tid * 2 + 1);
+    std::vector<double> dr(n), dc(n);
+    double acc = 0, zc = 0;
+#pragma omp for schedule(static)
+    for (long long t = 0; t < trials; t++) {
+      uint64_t colm = (n >= 64) ? ~0ull : ((1ull << n) - 1), rowm = colm;
+      std::fill(dr.begin(), dr.end(), 1.0);
+      std::fill(dc.begin(), dc.end(), 1.0);
+      double logx = 0.0;
+      bool dead = false;
+      for (int step = 0; step < n && !dead; step++) {
+        // min residual-degree live row
+        int row = -1, best = n + 1;
+        for (int i = 0; i < n; i++)
+          if ((rowm >> i) & 1ull) {
+            int d = 0;
+            for (int j = 0; j < n; j++)
+              d += (((colm >> j) & 1ull) && a[i * n + j] != 0.0);
+            if (d < best) { best = d; row = i; }
+          }
+        if (step % scale_intervals == 0) {
+          for (int it = 0; it < scale_times && !dead; it++) {
+            for (int j = 0; j < n; j++)
+              if ((colm >> j) & 1ull) {
+                double cs = 0;
+                for (int i = 0; i < n; i++)
+                  if ((rowm >> i) & 1ull) cs += dr[i] * a[i * n + j];
+                if (cs == 0) { dead = true; break; }
+                dc[j] = 1.0 / cs;
+              }
+            for (int i = 0; i < n && !dead; i++)
+              if ((rowm >> i) & 1ull) {
+                double rs = 0;
+                for (int j = 0; j < n; j++)
+                  if ((colm >> j) & 1ull) rs += a[i * n + j] * dc[j];
+                if (rs == 0) { dead = true; break; }
+                dr[i] = 1.0 / rs;
+              }
+          }
+          if (dead) break;
+        }
+        double tot = 0;
+        for (int j = 0; j < n; j++)
+          if (((colm >> j) & 1ull) && a[row * n + j] != 0.0)
+            tot += dr[row] * a[row * n + j] * dc[j];
+        if (tot == 0) { dead = true; break; }
+        double u = rng.uniform() * tot, run = 0, pj = 0;
+        int col = -1;
+        for (int j = 0; j < n; j++)
+          if (((colm >> j) & 1ull) && a[row * n + j] != 0.0) {
+            double w = dr[row] * a[row * n + j] * dc[j];
+            run += w;
+            if (u <= run) { col = j; pj = w / tot; break; }
+          }
+        if (col < 0) { dead = true; break; }
+        logx -= std::log2(pj);
+        colm &= ~(1ull << col);
+        rowm &= ~(1ull << row);
+      }
+      if (dead) zc += 1.0; else acc += std::exp2(logx);
+    }
+    partial[tid] = acc;
+    zeros[tid] = zc;
+  }
+  double total = 0, z = 0;
+  for (int t = 0; t < threads; t++) { total += partial[t]; z += zeros[t]; }
+  if (zeros_out) *zeros_out = z;
+  return total / (double)trials;
+}
+
+// ------------------------------------------------ libConnect-style facade
+
+void connect() { std::fprintf(stderr, "superman_tpu native engine connected\n"); }
+
+static int read_triplet_file(const char* filename, std::vector<double>& mat,
+                             int& n, int binary) {
+  std::ifstream f(filename);
+  if (!f) return -1;
+  std::string line;
+  if (!std::getline(f, line)) return -1;
+  std::istringstream hdr(line);
+  long long nnz;
+  std::string type;
+  hdr >> n >> nnz >> type;
+  if (n <= 0) return -1;
+  mat.assign((size_t)n * n, 0.0);
+  while (std::getline(f, line)) {
+    std::istringstream iss(line);
+    int i, j;
+    double v;
+    if (!(iss >> i >> j >> v)) continue;
+    mat[(size_t)i * n + j] = binary ? 1.0 : v;
+  }
+  return 0;
+}
+
+static void sort_order_cols(std::vector<double>& a, int n) {
+  std::vector<std::pair<int, int>> deg(n);
+  for (int j = 0; j < n; j++) {
+    int d = 0;
+    for (int i = 0; i < n; i++) d += (a[(size_t)i * n + j] != 0.0);
+    deg[j] = {d, j};
+  }
+  std::stable_sort(deg.begin(), deg.end());
+  std::vector<double> b((size_t)n * n);
+  for (int jj = 0; jj < n; jj++)
+    for (int i = 0; i < n; i++) b[(size_t)i * n + jj] = a[(size_t)i * n + deg[jj].second];
+  a.swap(b);
+}
+
+static void skip_order_perm(std::vector<double>& a, int n) {
+  std::vector<int> degs(n), colp(n), rowp;
+  std::vector<char> seen(n, 0);
+  for (int j = 0; j < n; j++) {
+    degs[j] = 0;
+    for (int i = 0; i < n; i++) degs[j] += (a[(size_t)i * n + j] != 0.0);
+  }
+  const int INF = 1 << 29;
+  for (int jj = 0; jj < n; jj++) {
+    int best = INF, c = 0;
+    for (int j = 0; j < n; j++)
+      if (degs[j] < best) { best = degs[j]; c = j; }
+    degs[c] = INF;
+    colp[jj] = c;
+    for (int i = 0; i < n; i++)
+      if (a[(size_t)i * n + c] != 0.0 && !seen[i]) {
+        seen[i] = 1;
+        rowp.push_back(i);
+        for (int k = 0; k < n; k++)
+          if (a[(size_t)i * n + k] != 0.0 && degs[k] != INF) degs[k]--;
+      }
+  }
+  for (int i = 0; i < n; i++) if (!seen[i]) rowp.push_back(i);
+  std::vector<double> b((size_t)n * n);
+  for (int i = 0; i < n; i++)
+    for (int j = 0; j < n; j++)
+      b[(size_t)i * n + j] = a[(size_t)rowp[i] * n + colp[j]];
+  a.swap(b);
+}
+
+static double dispatch_algo(std::vector<double>& a, int n, int algo, int nt,
+                            int x, int y, int z) {
+  // reference libConnect algo ids (interface_connector.c:19-59):
+  // 0 rasmussen_sparse, 1 rasmussen, 2 approx_sparse, 3 approx,
+  // 4 sparse exact, 5 dense exact, 6 skipper, 7 skipper balanced, 8 seq
+  double zeros = 0;
+  switch (algo) {
+    case 0:
+    case 1: return sup_rasmussen(a.data(), n, x, nt, 12345, &zeros);
+    case 2:
+    case 3: return sup_approx_scaling(a.data(), n, x, y, z, nt, 12345, &zeros);
+    case 4: return sup_perman_sparse(a.data(), n, nt);
+    case 5: return sup_perman_dense(a.data(), n, nt, 0);
+    case 6:
+    case 7: return sup_perman_skipper(a.data(), n, nt);
+    case 8: return sup_perman_dense(a.data(), n, 1, 0);
+    default: return 0.0;
+  }
+}
+
+double read_calculate_return(char* filename, int algorithm, int nt, int x,
+                             int y, int z) {
+  std::vector<double> a;
+  int n = 0;
+  if (read_triplet_file(filename, a, n, 0) != 0) return 0.0;
+  // same auto-preprocessing policy as the reference connector
+  if (algorithm == 0 || algorithm == 2 || algorithm == 4) sort_order_cols(a, n);
+  else if (algorithm == 6 || algorithm == 7) skip_order_perm(a, n);
+  return dispatch_algo(a, n, algorithm, nt, x, y, z);
+}
+
+double matlab_calculate_return_int(const int* mat, int algorithm, int nt,
+                                   int x, int y, int z, int nov, int nnz) {
+  (void)nnz;
+  std::vector<double> a((size_t)nov * nov);
+  for (size_t i = 0; i < a.size(); i++) a[i] = (double)mat[i];
+  if (algorithm == 0 || algorithm == 2 || algorithm == 4) sort_order_cols(a, nov);
+  else if (algorithm == 6 || algorithm == 7) skip_order_perm(a, nov);
+  return dispatch_algo(a, nov, algorithm, nt, x, y, z);
+}
+
+double matlab_calculate_return_double(const double* mat, int algorithm,
+                                      int nt, int x, int y, int z, int nov,
+                                      int nnz) {
+  (void)nnz;
+  std::vector<double> a(mat, mat + (size_t)nov * nov);
+  if (algorithm == 0 || algorithm == 2 || algorithm == 4) sort_order_cols(a, nov);
+  else if (algorithm == 6 || algorithm == 7) skip_order_perm(a, nov);
+  return dispatch_algo(a, nov, algorithm, nt, x, y, z);
+}
+
+}  // extern "C"

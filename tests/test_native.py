@@ -1,0 +1,59 @@
+"""Native C++ CPU engine (OpenMP) vs the oracle, plus the libConnect-parity
+C facade (reference interface_connector.c / superPython.py surface)."""
+
+import numpy as np
+import pytest
+
+from superman_tpu.ops.oracle import perman_brute
+from tests.conftest import random_int_matrix
+
+native = pytest.importorskip("superman_tpu.bindings.native")
+if not native.native_available():
+    pytest.skip("native engine unavailable (no g++?)", allow_module_level=True)
+
+
+def test_native_engines_agree_with_oracle(rng):
+    lib = native.load()
+    for n, d in [(9, 0.5), (12, 0.35)]:
+        a = np.ascontiguousarray(
+            random_int_matrix(rng, n, d, vmax=3).astype(np.float64))
+        want = perman_brute(a.astype(np.int64))
+        assert lib.sup_perman_dense(a, n, 2, 0) == pytest.approx(want, rel=1e-9)
+        assert lib.sup_perman_sparse(a, n, 2) == pytest.approx(want, rel=1e-9)
+        assert lib.sup_perman_skipper(a, n, 2) == pytest.approx(want, rel=1e-9)
+
+
+def test_native_rasmussen(rng):
+    import ctypes
+    lib = native.load()
+    a = (rng.random((9, 9)) < 0.6).astype(np.float64)
+    np.fill_diagonal(a, 1)
+    a = np.ascontiguousarray(a)
+    want = perman_brute(a.astype(np.int64))
+    zeros = ctypes.c_double()
+    est = lib.sup_rasmussen(a, 9, 50000, 2, 42, ctypes.byref(zeros))
+    assert est == pytest.approx(want, rel=0.3)
+
+
+def test_read_calculate_return(tmp_path, rng):
+    """superPython.py parity: file in, permanent out, by algo id."""
+    from superman_tpu.core.matrix import DenseMatrix
+    from superman_tpu.io.triplet import write_triplet
+    a = random_int_matrix(rng, 10, 0.5, vmax=2)
+    np.fill_diagonal(a, 1)
+    p = str(tmp_path / "m.txt")
+    write_triplet(p, DenseMatrix(a, "int"))
+    want = perman_brute(a)
+    for algo in (4, 5, 6, 7, 8):        # exact ids of the reference facade
+        got = native.read_calculate_return(p, algo, nt=2)
+        assert got == pytest.approx(want, rel=1e-9), algo
+
+
+def test_cpu_flag_routes_to_native(rng):
+    import superman_tpu as sp
+    a = random_int_matrix(rng, 12, 0.4, vmax=2)
+    np.fill_diagonal(a, 1)
+    want = perman_brute(a)
+    r = sp.permanent(a, cpu=True, gpu=False, threads=2)
+    assert r.algo_name.startswith("cpu_")
+    assert r.permanent == pytest.approx(want, rel=1e-9)

@@ -17,6 +17,21 @@ import jax as _jax
 # package carry explicit dtypes so enabling x64 does not change kernel types.
 _jax.config.update("jax_enable_x64", True)
 
+# persistent XLA compilation cache: the engine's kernel shapes repeat
+# across runs, so paying the ~30 s TPU compile once per machine (not per
+# process) matters for CLI workflows.  Opt out with SUPERMAN_NO_CC=1.
+import os as _os
+
+if not _os.environ.get("SUPERMAN_NO_CC"):
+    _cc = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                          _os.path.expanduser("~/.cache/superman_tpu/xla"))
+    try:
+        _os.makedirs(_cc, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cc)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError):
+        pass
+
 from .core.flags import Flags
 from .core.result import Result
 from .core.matrix import DenseMatrix, SparseMatrix, matrix2compressed

@@ -36,6 +36,9 @@ def load() -> ctypes.CDLL:
         lib.sup_perman_sparse.argtypes = [dp, I, I]
         lib.sup_perman_skipper.restype = D
         lib.sup_perman_skipper.argtypes = [dp, I, I]
+        ip64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.sup_perman_dense_chunks.restype = D
+        lib.sup_perman_dense_chunks.argtypes = [dp, I, ip64, LL, I, I]
         lib.sup_rasmussen.restype = D
         lib.sup_rasmussen.argtypes = [dp, I, LL, I, U,
                                       ctypes.POINTER(D)]
@@ -55,6 +58,20 @@ def native_available() -> bool:
         return True
     except Exception:
         return False
+
+
+def perman_dense_chunks(a_scaled: np.ndarray, chunk_ids: np.ndarray,
+                        r: int, threads: int) -> float:
+    """Raw partial sum over aligned Gray chunks (hybrid-scheduler CPU side).
+
+    a_scaled must be the SAME row-scaled matrix the TPU kernel runs on; the
+    returned value carries no final sign factor (see perman_cpu.cpp).
+    """
+    lib = load()
+    a = np.ascontiguousarray(a_scaled, dtype=np.float64)
+    ids = np.ascontiguousarray(chunk_ids, dtype=np.int64)
+    return float(lib.sup_perman_dense_chunks(
+        a, a.shape[0], ids, len(ids), int(r), int(threads)))
 
 
 def read_calculate_return(filename: str, algorithm: int, nt: int = 16,

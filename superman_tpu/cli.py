@@ -62,10 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calc", type=str, default=None,
                    choices=("f32", "df64", "f64", "quad"))
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="journal finished work units here and resume "
+                        "from it (hybrid scheduler)")
     return p
 
 
 _MULTI_IDS = {"5", "6", "17"}
+_HYBRID_IDS = {"6", "17"}   # reference multigpucpu_chunks variants
 _SKIPPER_IDS = {"7", "8", "14", "17"}
 _APPROX_NAMES = {"1": "rasmussen", "2": "scaling",
                  "3": "rasmussen", "4": "scaling"}
@@ -75,6 +79,7 @@ def flags_from_args(args) -> Flags:
     algo = str(args.perman)
     sparse = args.sparse
     mesh_shape = None
+    hybrid = False
     if args.approximation:
         algo = _APPROX_NAMES.get(algo, algo)
         if str(args.perman) in ("3", "4"):
@@ -82,11 +87,15 @@ def flags_from_args(args) -> Flags:
     else:
         if algo in _SKIPPER_IDS:
             sparse = True
+        if algo in _HYBRID_IDS:
+            hybrid = True
         if algo in _MULTI_IDS:
             mesh_shape = (max(args.device, 2),)
+    # reference hybrid semantics: -p6 -c adds the CPU worker to the chunk
+    # pool while the accelerator keeps running (gpu stays on)
     return Flags(
-        cpu=args.cpu and not args.gpu,
-        gpu=not (args.cpu and not args.gpu),
+        cpu=args.cpu if hybrid else (args.cpu and not args.gpu),
+        gpu=hybrid or not (args.cpu and not args.gpu),
         dense=not sparse, sparse=sparse,
         exact=not args.approximation, approximation=args.approximation,
         binary_graph=args.binary,
@@ -104,6 +113,7 @@ def flags_from_args(args) -> Flags:
         gpu_num=args.device, device_id=args.deviceid,
         rep=args.rep, grid_multip=args.gridmultip,
         mesh_shape=mesh_shape, seed=args.seed,
+        hybrid=hybrid, checkpoint_path=args.checkpoint,
         filename=args.file or "",
     )
 

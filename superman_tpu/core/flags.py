@@ -70,6 +70,11 @@ class Flags:
     mesh_shape: Optional[Tuple[int, ...]] = None
     #: chunk-level dead-range pruning for sparse matrices (TPU SkipPer)
     skip_pruning: bool = True
+    #: dynamic chunked TPU+CPU scheduling (reference multigpucpu_chunks,
+    #: algo ids 6/17); the CPU helper joins when `cpu` is also set
+    hybrid: bool = False
+    #: journal finished work units here; a restarted run resumes from it
+    checkpoint_path: Optional[str] = None
     #: PRNG seed for approximation algorithms
     seed: int = 0
 
@@ -86,7 +91,8 @@ class Flags:
             return "f32"
         # reference default is double calc; on TPU the honest equivalent is
         # the compensated double-float path
-        return "df64" if not self.cpu else "f64"
+        return "f64" if self.resolved_device() == "cpu" else "df64"
 
     def resolved_device(self) -> str:
+        # cpu AND gpu together = hybrid (both worker kinds participate)
         return "cpu" if (self.cpu and not self.gpu) else "tpu"

@@ -164,6 +164,61 @@ double sup_perman_dense(const double* a, int n, int threads, int calc_quad) {
   return (double)((long double)(4 * (n & 1) - 2) * p);
 }
 
+// Raw partial sum over an explicit list of aligned Gray chunks of size
+// 2**r, WITHOUT the final (4*(n&1)-2) sign factor — the hybrid scheduler
+// (parallel/scheduler.py) combines these with the TPU kernel's per-chunk
+// partials, which carry the same convention.  Parity: the CPU worker side
+// of the reference's gpu_perman64_*_multigpucpu_chunks
+// (gpu_exact_dense.cu:776-896), with the OpenMP-critical chunk counter
+// replaced by a caller-provided chunk list.
+double sup_perman_dense_chunks(const double* a, int n,
+                               const long long* chunk_ids, long long count,
+                               int r, int threads) {
+  if (n <= 1 || count <= 0) return 0.0;
+  threads = pick_threads(threads);
+  const uint64_t csz = 1ull << r;
+  std::atomic<long long> next{0};
+  std::vector<long double> partial(threads, 0.0L);
+
+#pragma omp parallel num_threads(threads)
+  {
+#ifdef _OPENMP
+    int tid = omp_get_thread_num();
+#else
+    int tid = 0;
+#endif
+    std::vector<double> x0(n), x(n);
+    init_x(a, n, x0.data());
+    long double sum = 0.0L;
+    long long ci;
+    while ((ci = next.fetch_add(1, std::memory_order_relaxed)) < count) {
+      const uint64_t base = (uint64_t)chunk_ids[ci] << r;
+      x_at(a, n, x0.data(), base, x.data());
+      double prod = 1.0;
+      for (int i = 0; i < n; i++) prod *= x[i];
+      long double local = prod;        // m = 0 term, base even -> +
+      uint64_t gray = base ^ (base >> 1);
+      for (uint64_t m = 1; m < csz; m++) {
+        const uint64_t i = base + m;
+        const int k = __builtin_ctzll(i);
+        gray ^= (1ull << k);
+        const double s = ((gray >> k) & 1ull) ? 1.0 : -1.0;
+        prod = 1.0L;
+        for (int j = 0; j < n; j++) {
+          x[j] += s * a[j * n + k];
+          prod *= x[j];
+        }
+        local += (i & 1ull) ? -prod : prod;
+      }
+      sum += local;
+    }
+    partial[tid] = sum;
+  }
+  long double p = 0.0L;
+  for (auto v : partial) p += v;
+  return (double)p;
+}
+
 // --------------------------------------------------------- exact: sparse
 
 // SpaRyser: incremental x updates through the column structure with

@@ -129,16 +129,27 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
     interpret = jax.default_backend() != "tpu"
 
     scales = _row_scales(a)
+    hybrid_stats = None
     for attempt in range(3):
         a_s = a.astype(np.float64) * np.exp2(-scales.astype(np.float64)
                                              )[:, None]
         x0_pair, cols_pair = gray.pack_matrix(a_s, plan.n_pad)
         cth, ctl = colst_pack(a_s, plan.n_pad)
-        partials = compute_partials(
-            ids_blocks, x0_pair, cols_pair, cth, ctl, plan,
-            df=df, exact_storage=exact_storage, mesh=mesh,
-            interpret=interpret)
-        total = float(partials.sum(dtype=np.float64)) + extra_sum
+        if flags.hybrid:
+            from ..parallel.scheduler import compute_partials_hybrid
+            total, hybrid_stats = compute_partials_hybrid(
+                a_s, ids_blocks, x0_pair, cols_pair, cth, ctl, plan,
+                df=df, exact_storage=exact_storage, mesh=mesh,
+                interpret=interpret, threads=flags.threads,
+                cpu_helper=flags.cpu,
+                checkpoint_path=flags.checkpoint_path)
+            total += extra_sum
+        else:
+            partials = compute_partials(
+                ids_blocks, x0_pair, cols_pair, cth, ctl, plan,
+                df=df, exact_storage=exact_storage, mesh=mesh,
+                interpret=interpret)
+            total = float(partials.sum(dtype=np.float64)) + extra_sum
         # scaled sums far below 1 may have lost underflowed terms; shift
         # the row scales to center the result near 2^0 and rerun (scaling
         # is exact, so a rerun is a pure exponent adjustment)
@@ -153,9 +164,16 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
     p = (4 * (n & 1) - 2) * total * (2.0 ** E) + 0.0   # +0.0 drops -0.0
     dt = time.perf_counter() - t0
     iters = live << plan.r
-    return Result(p, dt, algo_name=f"ryser_pallas_{calc}",
-                  iterations=iters,
-                  meta={"calc": calc, "chunks": live, "r": plan.r,
-                        "lanes": plan.lanes, "scale_log2": E,
-                        "mesh": None if mesh is None else num_shards,
-                        "iters_per_sec": iters / dt})
+    meta = {"calc": calc, "chunks": live, "r": plan.r,
+            "lanes": plan.lanes, "scale_log2": E,
+            "mesh": None if mesh is None else num_shards,
+            "iters_per_sec": iters / dt}
+    name = f"ryser_pallas_{calc}"
+    if hybrid_stats is not None:
+        name = f"ryser_hybrid_{calc}"
+        meta["hybrid"] = {
+            "units": hybrid_stats.units_total,
+            "tpu": hybrid_stats.units_tpu, "cpu": hybrid_stats.units_cpu,
+            "resumed": hybrid_stats.units_resumed,
+            "retries": hybrid_stats.retries}
+    return Result(p, dt, algo_name=name, iterations=iters, meta=meta)

@@ -1,0 +1,228 @@
+"""Hybrid dynamic chunk scheduler: TPU + native-CPU workers over one queue.
+
+Parity: the reference's dynamic chunked multi-GPU+CPU load balancer
+(`gpu_perman64_*_multigpucpu_chunks`, gpu_exact_dense.cu:776-896): the
+Gray-code range is over-decomposed into work units; `gpu_num+1` OpenMP
+threads pull unit ids from a shared counter under `#pragma omp critical`,
+with thread `gpu_num` running the OpenMP CPU kernel.  TPU-native redesign:
+
+* one Python worker thread drives the (possibly mesh-sharded) Pallas
+  engine, an optional second drives the native C++ OpenMP engine
+  (native/perman_cpu.cpp: sup_perman_dense_chunks) — both pull unit ids
+  from a lock-protected counter (the GIL is released inside both device
+  execution and the ctypes call, so the workers genuinely overlap);
+* per-unit progress logs mirror "ChunkID k is DONE by kernel i in t"
+  (gpu_exact_dense.cu:876);
+* each finished unit is journaled to an optional checkpoint file, so a
+  killed run resumes by replaying the journal and skipping finished units
+  (the reference has no checkpointing; its chunked scheduler is already
+  shaped for it — SURVEY.md §5);
+* a unit that raises is retried (up to 3 attempts) before the run is
+  failed with the offending unit id — failure detection the reference
+  lacks (it exit(1)s).
+
+Exactness: unit partials are raw Gray-term sums over the row-scaled
+matrix; for integer matrices every partial is exactly representable, so
+the final float64 sum is independent of which worker computed what.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import threading
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..ops import gray
+from ..utils import trace
+
+
+@dataclass
+class HybridStats:
+    units_total: int = 0
+    units_tpu: int = 0
+    units_cpu: int = 0
+    units_resumed: int = 0
+    retries: int = 0
+
+
+def _journal_key(a_s: np.ndarray, r: int) -> str:
+    h = hashlib.sha256(np.ascontiguousarray(a_s).tobytes()).hexdigest()[:16]
+    return f"{a_s.shape[0]}:{r}:{h}"
+
+
+class _Journal:
+    """Append-only checkpoint of (unit id -> raw partial sum)."""
+
+    def __init__(self, path: Optional[str], key: str):
+        self.path = path
+        self.key = key
+        self.done: dict[int, float] = {}
+        self._f = None
+        if not path:
+            return
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    head = json.loads(f.readline())
+                    if head.get("key") == key:
+                        for line in f:
+                            rec = json.loads(line)
+                            self.done[int(rec["unit"])] = float(rec["value"])
+                    else:
+                        trace.log(f"checkpoint {path}: key mismatch, "
+                                  "starting fresh", level=1)
+            except (ValueError, OSError) as e:
+                trace.log(f"checkpoint {path}: unreadable ({e}), "
+                          "starting fresh", level=1)
+        mode = "a" if self.done else "w"
+        self._f = open(path, mode)
+        if mode == "w":
+            self._f.write(json.dumps({"key": key}) + "\n")
+            self._f.flush()
+
+    def record(self, unit: int, value: float, by: str, dt: float) -> None:
+        if self._f is None:
+            return
+        self._f.write(json.dumps({"unit": unit, "value": value,
+                                  "by": by, "t": round(dt, 4)}) + "\n")
+        self._f.flush()
+        os.fsync(self._f.fileno())
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+
+def compute_partials_hybrid(
+        a_s: np.ndarray, ids_blocks: np.ndarray, x0_pair, cols_pair,
+        colst_hi, colst_lo, plan: "gray.RyserPlan", *,
+        df: bool, exact_storage: bool, mesh=None, interpret: bool = False,
+        threads: int = 16, cpu_helper: bool = True,
+        checkpoint_path: Optional[str] = None,
+        unit_blocks: Optional[int] = None):
+    """Dynamic-chunked partial-sum computation.
+
+    Returns (total, HybridStats).  `total` is the raw sum of Gray terms
+    (no (4*(n&1)-2) factor, no 2**E unscaling) — same convention as
+    parallel.sharding.compute_partials.
+    """
+    from .sharding import compute_partials
+
+    B = ids_blocks.shape[0]
+    num_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    if unit_blocks is None:
+        # over-decompose ~8 units per worker, but keep units shard-aligned
+        workers = 2 if cpu_helper else 1
+        unit_blocks = max(num_shards, B // max(1, 8 * workers))
+    unit_blocks = -(-max(unit_blocks, num_shards) // num_shards) * num_shards
+    units = [(u, slice(s, min(s + unit_blocks, B)))
+             for u, s in enumerate(range(0, B, unit_blocks))]
+
+    journal = _Journal(checkpoint_path, _journal_key(a_s, plan.r))
+    stats = HybridStats(units_total=len(units),
+                        units_resumed=len(journal.done))
+
+    lock = threading.Lock()
+    next_unit = [0]
+    results: dict[int, float] = dict(journal.done)
+    failures: list[tuple[int, str, BaseException]] = []
+
+    def pull() -> Optional[tuple[int, slice]]:
+        with lock:
+            while next_unit[0] < len(units):
+                u, sl = units[next_unit[0]]
+                next_unit[0] += 1
+                if u not in results:
+                    return u, sl
+            return None
+
+    def run_tpu_unit(sl: slice) -> float:
+        blk = ids_blocks[sl]
+        # pad every unit to the same (unit_blocks, L) shape: one compiled
+        # kernel serves the whole run (sentinel -1 lanes contribute 0)
+        pad = unit_blocks - len(blk)
+        if pad:
+            blk = np.concatenate(
+                [blk, np.full((pad, blk.shape[1]), -1, np.int32)])
+        out = compute_partials(blk, x0_pair, cols_pair, colst_hi, colst_lo,
+                               plan, df=df, exact_storage=exact_storage,
+                               mesh=mesh, interpret=interpret)
+        return float(out.sum(dtype=np.float64))
+
+    def run_cpu_unit(sl: slice) -> float:
+        from ..bindings.native import perman_dense_chunks
+        ids = ids_blocks[sl].ravel()
+        ids = ids[ids >= 0].astype(np.int64)
+        if len(ids) == 0:
+            return 0.0
+        return perman_dense_chunks(a_s, ids, plan.r, threads)
+
+    def worker(kind: str, fn):
+        while True:
+            item = pull()
+            if item is None:
+                return
+            u, sl = item
+            t0 = time.perf_counter()
+            value = None
+            for attempt in range(3):
+                try:
+                    value = fn(sl)
+                    break
+                except Exception as e:          # noqa: BLE001 — retried
+                    with lock:
+                        stats.retries += 1
+                    trace.log(f"unit {u} failed on {kind} "
+                              f"(attempt {attempt + 1}): {e}", level=1)
+                    err = e
+            if value is None:
+                with lock:
+                    failures.append((u, kind, err))
+                return
+            dt = time.perf_counter() - t0
+            with lock:
+                results[u] = value
+                if kind == "tpu":
+                    stats.units_tpu += 1
+                else:
+                    stats.units_cpu += 1
+                journal.record(u, value, kind, dt)
+            trace.log(f"unit {u} is DONE by {kind} in {dt:.4f}s", level=2)
+
+    tpu_thread = threading.Thread(
+        target=worker, args=("tpu", run_tpu_unit), name="hybrid-tpu")
+    threads_list = [tpu_thread]
+    if cpu_helper:
+        from ..bindings.native import native_available
+        if native_available():
+            threads_list.append(threading.Thread(
+                target=worker, args=("cpu", run_cpu_unit),
+                name="hybrid-cpu"))
+        else:
+            trace.log("hybrid: native CPU engine unavailable, "
+                      "running TPU-only", level=1)
+    for t in threads_list:
+        t.start()
+    for t in threads_list:
+        t.join()
+    journal.close()
+
+    if failures:
+        u, kind, err = failures[0]
+        raise RuntimeError(
+            f"hybrid scheduler: unit {u} failed on {kind} worker after "
+            f"retries: {err}") from err
+    missing = [u for u, _ in units if u not in results]
+    if missing:
+        raise RuntimeError(f"hybrid scheduler: units never completed: "
+                           f"{missing[:8]}{'...' if len(missing) > 8 else ''}")
+    total = float(np.sum(np.fromiter(
+        (results[u] for u, _ in units), dtype=np.float64)))
+    return total, stats

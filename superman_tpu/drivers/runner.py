@@ -49,13 +49,10 @@ def run_algo(dense: DenseMatrix, flags: Flags) -> Result:
         if flags.sparse else dense
     mesh = mesh_for_flags(flags)
 
-    chunk_ids = None
-    if flags.sparse and flags.skip_pruning:
-        from ..ops.pruning import live_chunks
-        chunk_ids = live_chunks(dm, flags)
-
+    # dead-chunk pruning (TPU SkipPer) happens inside ryser_exact, which
+    # owns the chunk plan
     from ..ops.ryser import ryser_exact
-    res = ryser_exact(dm, flags, mesh=mesh, chunk_ids=chunk_ids)
+    res = ryser_exact(dm, flags, mesh=mesh)
     if flags.sparse:
         res.algo_name = res.algo_name.replace("ryser", "sparyser")
     flags.algo_name = res.algo_name

@@ -49,14 +49,34 @@ def pad_n(n: int) -> int:
     return best
 
 
-def make_plan(n: int, lanes: int = 1024, chunk_log2=None,
-              target_chunks_log2: int = 17) -> RyserPlan:
+def make_plan(n: int, lanes: int = 1024, chunk_log2=None, *,
+              df: bool = False, num_shards: int = 1, min_blocks: int = 1,
+              sparse: bool = False) -> RyserPlan:
+    """Chunk-decomposition planner.
+
+    Tuned on v5e-class hardware (n=32 sweep): the kernel is fastest with
+    few LARGE programs — df64 peaks at 512 lanes x 2^22-step chunks, f32
+    at 1024 x 2^21 — so the default is one block per shard, capped at
+    2^31 Gray steps per program.  Sparse matrices instead keep chunks
+    SHORT (r = n-18) because chunk-granular dead-range pruning
+    (ops/pruning.py) needs rows that are constant across a chunk, and the
+    probability of that decays with 2^r.  min_blocks over-decomposes for
+    the dynamic hybrid scheduler.
+    """
+    total = n - 1
     if chunk_log2 is None:
-        r = max(1, (n - 1) - target_chunks_log2)
+        lanes = min(lanes, 512 if df else 1024)
+        if sparse:
+            r = max(5, total - 17)
+        else:
+            lg_lanes = max(1, int(math.log2(lanes)))
+            lg_blocks = int(math.ceil(math.log2(
+                max(min_blocks, num_shards))))
+            r = min(total - lg_lanes - lg_blocks, 31 - lg_lanes)
     else:
         r = chunk_log2
-    r = min(r, n - 2) if n > 2 else 1
-    num_chunks = 1 << max(0, (n - 1) - r)
+    r = max(1, min(r, n - 2)) if n > 2 else 1
+    num_chunks = 1 << max(0, total - r)
     lanes = min(lanes, num_chunks)
     return RyserPlan(n=n, n_pad=pad_n(n), r=r, lanes=lanes,
                      num_chunks=num_chunks)

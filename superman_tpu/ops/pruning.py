@@ -30,7 +30,8 @@ def live_chunks(dense: DenseMatrix, flags, plan: "gray.RyserPlan" = None,
     n = a.shape[0]
     if n < 19:
         return None
-    plan = plan or gray.make_plan(n, flags.lanes, flags.chunk_log2)
+    plan = plan or gray.make_plan(n, flags.lanes, flags.chunk_log2,
+                                  sparse=True)
     r = plan.r
     C = plan.num_chunks
 

@@ -112,7 +112,16 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
                       algo_name=f"ryser_pallas_{calc}", iterations=0,
                       meta={"reason": "empty row/col"})
 
-    plan = gray.make_plan(n, flags.lanes, flags.chunk_log2)
+    from ..parallel.sharding import pad_ids, compute_partials
+    num_shards = (int(np.prod(mesh.devices.shape))
+                  if mesh is not None else 1)
+    plan = gray.make_plan(
+        n, flags.lanes, flags.chunk_log2, df=df, num_shards=num_shards,
+        min_blocks=32 if flags.hybrid else 1,
+        sparse=flags.sparse and flags.skip_pruning)
+    if chunk_ids is None and flags.sparse and flags.skip_pruning:
+        from .pruning import live_chunks
+        chunk_ids = live_chunks(dense, flags, plan=plan)
     if chunk_ids is None:
         chunk_ids = np.arange(plan.num_chunks, dtype=np.int64)
     live = len(chunk_ids)
@@ -121,9 +130,6 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
                       algo_name=f"ryser_pallas_{calc}", iterations=0,
                       meta={"reason": "all chunks pruned"})
 
-    from ..parallel.sharding import pad_ids, compute_partials
-    num_shards = (int(np.prod(mesh.devices.shape))
-                  if mesh is not None else 1)
     ids_blocks = pad_ids(np.asarray(chunk_ids, dtype=np.int64).astype(
         np.int32), plan.lanes, num_shards)
     interpret = jax.default_backend() != "tpu"

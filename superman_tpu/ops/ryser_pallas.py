@@ -126,6 +126,132 @@ def _ryser_kernel(xhi_ref, xlo_ref, smid_ref, colsthi_ref, colstlo_ref,
     out_ref[:] = jnp.concatenate([acc_hi, acc_lo, pad], axis=0)
 
 
+# Unrolled inner blocks: within an aligned block of 16 steps m = 16b+j,
+# the flipped column k = ctz(m) and both signs are compile-time constants
+# for every j except j=8 (sign = parity of b, a scalar) and j=16 (column
+# k = 4 + ctz(b+1), the only dynamically-selected column).  The per-step
+# ctz chain, column select, and loop overhead of the scalar kernel all
+# collapse to once per 16 steps.  Static step table (j, k, x-sign):
+#   x-sign(j,k) = +1 iff bit_{k+1}(j) == 0; term sign = (-1)^j.
+_U16_STATIC = [
+    (1, 0, +1), (2, 1, +1), (3, 0, -1), (4, 2, +1),
+    (5, 0, +1), (6, 1, -1), (7, 0, -1), (8, 3, 0),   # 0 = dynamic sign
+    (9, 0, +1), (10, 1, +1), (11, 0, -1), (12, 2, -1),
+    (13, 0, +1), (14, 1, -1), (15, 0, -1),
+]
+
+
+def _ryser_kernel_u16(xhi_ref, xlo_ref, smid_ref, colsthi_ref, colstlo_ref,
+                      out_ref, *, r: int, df: bool, exact_storage: bool):
+    assert r >= 5, "u16 kernel needs the mid step on a j=16 boundary"
+    n_pad, L = xhi_ref.shape
+    nb_pad = colsthi_ref.shape[1]
+    smid = smid_ref[:]                       # (1, L)
+    colst_hi = colsthi_ref[:]                # (n_pad, nb_pad): lane k = col k
+    full_df = df and not exact_storage
+    colst_lo = colstlo_ref[:] if full_df else None
+    lane_k = lax.broadcasted_iota(jnp.int32, (n_pad, nb_pad), 1)
+
+    # static columns k = 0..3 as (n_pad, 1) slices
+    chi = [colst_hi[:, k:k + 1] for k in range(4)]
+    clo = [colst_lo[:, k:k + 1] if full_df else None for k in range(4)]
+
+    xhi0 = xhi_ref[:]
+    xlo0 = xlo_ref[:] if full_df else jnp.zeros_like(xhi0)
+
+    def prod_term(xhi, xlo):
+        if not df:
+            return tree_prod_f32(xhi), None
+        if exact_storage:
+            return tree_prod_df64(xhi)
+        h = n_pad // 2
+        phi, plo = df64.two_prod(xhi[:h], xhi[h:])
+        plo = plo + (xhi[:h] * xlo[h:] + xlo[:h] * xhi[h:])
+        phi, plo = df64.quick_two_sum(phi, plo)
+        s = h
+        while s > 1 and s % 2 == 0:
+            s //= 2
+            phi, plo = df64.df_mul(phi[:s], plo[:s], phi[s:], plo[s:])
+        if s == 5:
+            phi, plo = df64._prod5(phi, plo)
+        return phi, plo
+
+    def upd_static(xhi, xlo, k, pos):
+        if full_df:
+            return df64.df_add(xhi, xlo,
+                               chi[k] if pos else -chi[k],
+                               clo[k] if pos else -clo[k])
+        return (xhi + chi[k]) if pos else (xhi - chi[k]), xlo
+
+    def upd_dyn(xhi, xlo, ck_hi, ck_lo, s):
+        if full_df:
+            return df64.df_add(xhi, xlo, ck_hi * s, ck_lo * s)
+        return xhi + ck_hi * s, xlo
+
+    def acc_add(acc_hi, acc_lo, phi, plo, pos):
+        if df:
+            return df64.df_add(acc_hi, acc_lo,
+                               phi if pos else -phi,
+                               plo if pos else -plo)
+        return acc_hi + (phi if pos else -phi), acc_lo
+
+    def static_steps(carry, b_parity_pos):
+        """The 15 static steps of a block; b_parity_pos is the (possibly
+        traced) +/-1 sign of the j=8 update."""
+        xhi, xlo, acc_hi, acc_lo = carry
+        for j, k, sgn in _U16_STATIC:
+            if sgn == 0:     # j == 8: sign is the block parity
+                ck = chi[3] * b_parity_pos
+                cl = clo[3] * b_parity_pos if full_df else None
+                xhi, xlo = upd_dyn(xhi, xlo, ck, cl, jnp.float32(1))
+            else:
+                xhi, xlo = upd_static(xhi, xlo, k, sgn > 0)
+            phi, plo = prod_term(xhi, xlo)
+            acc_hi, acc_lo = acc_add(acc_hi, acc_lo, phi, plo,
+                                     (j & 1) == 0)
+        return xhi, xlo, acc_hi, acc_lo
+
+    # m = 0 term: base index is even -> sign +1
+    phi, plo = prod_term(xhi0, xlo0)
+    acc_hi = phi
+    acc_lo = plo if df else jnp.zeros_like(phi)
+
+    nb = 1 << (r - 4)            # 16-step blocks per chunk
+
+    def block(b, carry):
+        s8 = jnp.where((b & _I32(1)) == _I32(0),
+                       jnp.float32(1), jnp.float32(-1))
+        xhi, xlo, acc_hi, acc_lo = static_steps(carry, s8)
+        # j = 16: column k = 4 + ctz(b+1), the only dynamic select
+        q = b + _I32(1)
+        c = _ctz(q)
+        k16 = c + _I32(4)
+        s16 = jnp.where(((q >> (c + _I32(1))) & _I32(1)) == _I32(0),
+                        jnp.float32(1), jnp.float32(-1))
+        s_row = jnp.where(k16 == _I32(r - 1), smid, s16)     # (1, L)
+        sel = (lane_k == k16).astype(jnp.float32)
+        ck_hi = jnp.sum(colst_hi * sel, axis=1, keepdims=True)
+        ck_lo = (jnp.sum(colst_lo * sel, axis=1, keepdims=True)
+                 if full_df else None)
+        xhi, xlo = upd_dyn(xhi, xlo,
+                           ck_hi * s_row,
+                           ck_lo * s_row if full_df else None,
+                           jnp.float32(1))
+        phi, plo = prod_term(xhi, xlo)
+        acc_hi, acc_lo = acc_add(acc_hi, acc_lo, phi, plo, True)
+        return xhi, xlo, acc_hi, acc_lo
+
+    carry = lax.fori_loop(jnp.int32(0), jnp.int32(nb - 1), block,
+                          (xhi0, xlo0, acc_hi, acc_lo))
+    # final block: the 15 static steps only (m = 2**r belongs to the
+    # next chunk); its j=8 parity is the static value of nb-1
+    s8_last = jnp.float32(1) if (nb - 1) % 2 == 0 else jnp.float32(-1)
+    _, _, acc_hi, acc_lo = static_steps(carry, s8_last)
+
+    pad = jnp.zeros((6, L), dtype=jnp.float32)
+    out_ref[:] = jnp.concatenate([acc_hi, acc_lo, pad], axis=0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("r", "df", "exact_storage", "interpret"))
@@ -139,7 +265,13 @@ def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
     returns  (B, 8, L) f32; rows 0/1 are the hi/lo partial-sum pair.
     """
     B, n_pad, L = xhi.shape
-    kern = functools.partial(_ryser_kernel, r=r, df=df,
+    # u16 and the scalar kernel execute the IDENTICAL op sequence per Gray
+    # term (add/sub vs mult-by-±1 are exact), so results are bitwise equal;
+    # interpret mode sticks to the scalar kernel because XLA:CPU compile
+    # time explodes on the unrolled body.
+    kern_fn = _ryser_kernel_u16 if (r >= 5 and not interpret) \
+        else _ryser_kernel
+    kern = functools.partial(kern_fn, r=r, df=df,
                              exact_storage=exact_storage)
     flops_per = 2 * n_pad * (10 if df else 1)
     # One pallas program per block, sequenced with lax.map rather than a

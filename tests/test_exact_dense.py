@@ -21,7 +21,10 @@ def test_calc_modes_match_oracle_n22(rng, calc):
     a = random_int_matrix(rng, 22, 0.4, vmax=3)
     want = perman64(a)
     res = sp.permanent(a, calc=calc)
-    rel = 2e-5 if calc == "f32" else 1e-12
+    # f32 is the speed mode: the default plan picks long chunks, so f32
+    # per-lane accumulation error is ~1e-4..1e-3 (documented; df64 is the
+    # accuracy mode)
+    rel = 1e-3 if calc == "f32" else 1e-12
     assert res.permanent == pytest.approx(want, rel=rel)
 
 

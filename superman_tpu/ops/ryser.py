@@ -122,6 +122,17 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
     if chunk_ids is None and flags.sparse and flags.skip_pruning:
         from .pruning import live_chunks
         chunk_ids = live_chunks(dense, flags, plan=plan)
+        if chunk_ids is not None:
+            # adaptive fallback: short-chunk pruning only pays when it
+            # kills more work than the long-chunk plan's higher
+            # throughput (~1.6x, measured) gains back
+            live_frac = len(chunk_ids) / plan.num_chunks
+            if live_frac > 0.60:
+                plan = gray.make_plan(
+                    n, flags.lanes, flags.chunk_log2, df=df,
+                    num_shards=num_shards,
+                    min_blocks=32 if flags.hybrid else 1, sparse=False)
+                chunk_ids = None
     if chunk_ids is None:
         chunk_ids = np.arange(plan.num_chunks, dtype=np.int64)
     live = len(chunk_ids)
@@ -151,11 +162,25 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
                 checkpoint_path=flags.checkpoint_path)
             total += extra_sum
         else:
-            partials = compute_partials(
-                ids_blocks, x0_pair, cols_pair, cth, ctl, plan,
-                df=df, exact_storage=exact_storage, mesh=mesh,
-                interpret=interpret)
-            total = float(partials.sum(dtype=np.float64)) + extra_sum
+            # chop the block list into power-of-2-sized groups so the set
+            # of compiled kernel shapes is {1,2,4,...} x num_shards and is
+            # REUSED across matrices (the post-pruning block count varies
+            # per matrix; without this every sparse matrix would trigger a
+            # fresh 30-90 s XLA compile)
+            total = extra_sum
+            q = ids_blocks.shape[0] // num_shards
+            off = 0
+            for bit in reversed(range(max(1, q).bit_length())):
+                sz = 1 << bit
+                if q & sz:
+                    blk = ids_blocks[off * num_shards:
+                                     (off + sz) * num_shards]
+                    partials = compute_partials(
+                        blk, x0_pair, cols_pair, cth, ctl, plan,
+                        df=df, exact_storage=exact_storage, mesh=mesh,
+                        interpret=interpret)
+                    total += float(partials.sum(dtype=np.float64))
+                    off += sz
         # scaled sums far below 1 may have lost underflowed terms; shift
         # the row scales to center the result near 2^0 and rerun (scaling
         # is exact, so a rerun is a pure exponent adjustment)

@@ -1,0 +1,72 @@
+"""Accuracy-sweep harness and binding-surface parity tests."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import superman_tpu as sp
+from superman_tpu.bindings.native import native_available
+from superman_tpu.core.matrix import DenseMatrix
+from superman_tpu.io.triplet import write_triplet
+from tests.conftest import random_int_matrix
+
+
+@pytest.fixture(scope="module")
+def small_file(tmp_path_factory):
+    rng = np.random.default_rng(99)
+    a = random_int_matrix(rng, 14, 0.6, vmax=2)
+    path = tmp_path_factory.mktemp("acc") / "m14.txt"
+    write_triplet(str(path), DenseMatrix(a, "int"))
+    return str(path)
+
+
+def test_accuracy_sweep_agrees(small_file, tmp_path):
+    from superman_tpu.tools.accuracy import run_sweep
+    out = str(tmp_path / "report.jsonl")
+    records, bad = run_sweep([small_file], quick=True, out=out,
+                             log=lambda s: None)
+    assert not bad, bad
+    lines = [json.loads(x) for x in open(out)]
+    assert {r["config"] for r in lines} >= {"exact_df64", "exact_f32",
+                                            "approx_scaling"}
+    exact = [r for r in lines if r["config"] == "exact_sparse_skip"]
+    assert exact and exact[0]["agrees"]
+
+
+def test_accuracy_cli(small_file, tmp_path):
+    from superman_tpu.tools import accuracy
+    rc = accuracy.main(["-f", small_file, "--quick",
+                        "--out", str(tmp_path / "r.jsonl")])
+    assert rc == 0
+
+
+@pytest.mark.skipif(not native_available(), reason="no native engine")
+def test_superpython_cli(small_file, capsys):
+    from superman_tpu.bindings import superpython
+    rc = superpython.main(["-f", small_file, "-a", "5", "-t", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    got = float(out.split(":")[1])
+    want = sp.permanent(small_file, calc="f64", cpu=True, gpu=False)
+    assert got == pytest.approx(want.permanent, rel=1e-9)
+
+
+@pytest.mark.skipif(not native_available(), reason="no native engine")
+def test_native_header_matches_library(tmp_path):
+    """The MATLAB-facing header must compile and link against the built
+    library (the reference ships matlab_calculate_return.h for this)."""
+    import superman_tpu.bindings as b
+    import superman_tpu.native.build as nb
+    import os
+    hdr = os.path.join(os.path.dirname(b.__file__), "superman_native.h")
+    lib = nb.build()
+    src = tmp_path / "check.c"
+    src.write_text(
+        '#include "%s"\n'
+        'int main(void) { connect(); return 0; }\n' % hdr)
+    exe = tmp_path / "check"
+    subprocess.run(["gcc", str(src), lib, "-o", str(exe)], check=True)
+    subprocess.run([str(exe)], check=True)

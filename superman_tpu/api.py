@@ -65,7 +65,11 @@ def permanent(matrix: Union[np.ndarray, DenseMatrix, str, None] = None,
     flags = Flags(**overrides)
     dm = _as_dense(matrix, flags)
     from .drivers.runner import run
-    res = run(dm, flags)
+    from .utils import trace
+    with trace.profile("superman_tpu.permanent"):
+        with trace.timer(f"permanent[{flags.algo_name or flags.perman_algo}]",
+                         level=2):
+            res = run(dm, flags)
     return res
 
 

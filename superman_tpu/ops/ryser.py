@@ -143,6 +143,17 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
 
     ids_blocks = pad_ids(np.asarray(chunk_ids, dtype=np.int64).astype(
         np.int32), plan.lanes, num_shards)
+    # multi-host: each host takes its deterministic interleaved block
+    # slice and runs the normal engine on it; totals are combined with
+    # one f64 allgather (parallel/multihost.py)
+    nprocs = jax.process_count()
+    if nprocs > 1:
+        from ..parallel.multihost import host_slice
+        ids_blocks = pad_ids(
+            host_slice(ids_blocks, jax.process_index(), nprocs).ravel(),
+            plan.lanes, num_shards)
+        if ids_blocks.size == 0:
+            ids_blocks = np.full((num_shards, plan.lanes), -1, np.int32)
     interpret = jax.default_backend() != "tpu"
 
     scales = _row_scales(a)
@@ -181,6 +192,11 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
                         interpret=interpret)
                     total += float(partials.sum(dtype=np.float64))
                     off += sz
+        if nprocs > 1:
+            # one f64 scalar over DCN; also keeps the underflow-retry
+            # decision below consistent across hosts
+            from ..parallel.multihost import combine_host_totals
+            total = combine_host_totals(total)
         # scaled sums far below 1 may have lost underflowed terms; shift
         # the row scales to center the result near 2^0 and rerun (scaling
         # is exact, so a rerun is a pure exponent adjustment)

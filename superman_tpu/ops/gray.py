@@ -82,11 +82,12 @@ def make_plan(n: int, lanes: int = 1024, chunk_log2=None, *,
                      num_chunks=num_chunks)
 
 
-def chunk_gray_bits(chunk_ids, n: int, r: int):
+def chunk_gray_bits(chunk_ids, n: int, r):
     """Gray-code bits of base = chunk_id * 2^r as a (..., n-1) 0/1 int32
     array: bit b = gray(chunk)>>(b-r) for b >= r, chunk&1 for b == r-1,
-    else 0."""
+    else 0.  r may be a traced int32 scalar."""
     l = chunk_ids.astype(jnp.int32)
+    r = jnp.asarray(r, jnp.int32)
     gray_l = l ^ (l >> 1)
     b = jnp.arange(n - 1, dtype=jnp.int32)
     hi = (gray_l[..., None] >> jnp.maximum(b - r, 0)[None, :]) & 1
@@ -102,14 +103,16 @@ def x0_f64(a: np.ndarray) -> np.ndarray:
     return a[:, -1] - a.sum(axis=1) / 2
 
 
-@functools.partial(jax.jit, static_argnames=("n", "n_pad", "r", "df"))
-def chunk_init(chunk_ids, x0_pair, cols_pair, n: int, n_pad: int, r: int,
+@functools.partial(jax.jit, static_argnames=("n", "n_pad", "df"))
+def chunk_init(chunk_ids, x0_pair, cols_pair, n: int, n_pad: int, r,
                df: bool):
     """Device-side lane init.
 
     chunk_ids: (B, L) int32 (may contain sentinel -1 -> zero x, dead lane).
     x0_pair:   (2, n_pad) f32 hi/lo of x0 (lo exact split of the f64 value).
     cols_pair: (2, n-1, n_pad) f32 hi/lo of the matrix columns (col k padded).
+    r:         log2 chunk length, runtime scalar (keeps the compile key
+               shape-only).
     Returns (Xhi, Xlo, sign_mid): X* (B, n_pad, L), sign_mid (B, 1, L).
 
     The accumulation is a compensated (df64) chain over the n-1 columns, so

@@ -56,8 +56,9 @@ def _ctz(m):
     return k
 
 
-def _ryser_kernel(xhi_ref, xlo_ref, smid_ref, colsthi_ref, colstlo_ref,
-                  out_ref, *, r: int, df: bool, exact_storage: bool):
+def _ryser_kernel(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
+                  colstlo_ref, out_ref, *, df: bool, exact_storage: bool):
+    r = r_ref[0]
     n_pad, L = xhi_ref.shape
     nb_pad = colsthi_ref.shape[1]
     smid = smid_ref[:]                       # (1, L)
@@ -99,7 +100,7 @@ def _ryser_kernel(xhi_ref, xlo_ref, smid_ref, colsthi_ref, colstlo_ref,
                              jnp.float32(1), jnp.float32(-1))
         # sign diverges per lane only at the mid step (k == r-1, where
         # s_scalar is always +1 and the true sign is the chunk parity)
-        s_row = jnp.where(k == _I32(r - 1), smid, s_scalar)   # (1, L)
+        s_row = jnp.where(k == r - _I32(1), smid, s_scalar)   # (1, L)
         sel = (lane_k == k).astype(jnp.float32)
         ck_hi = jnp.sum(colst_hi * sel, axis=1, keepdims=True)  # (n_pad, 1)
         if df and not exact_storage:
@@ -120,7 +121,7 @@ def _ryser_kernel(xhi_ref, xlo_ref, smid_ref, colsthi_ref, colstlo_ref,
     # int32 loop bounds: Mosaic has no int64, and x64 mode would otherwise
     # make the induction variable 64-bit
     _, _, acc_hi, acc_lo = lax.fori_loop(
-        jnp.int32(1), jnp.int32(1 << r), body, (xhi0, xlo0, acc_hi, acc_lo))
+        _I32(1), _I32(1) << r, body, (xhi0, xlo0, acc_hi, acc_lo))
 
     pad = jnp.zeros((6, L), dtype=jnp.float32)
     out_ref[:] = jnp.concatenate([acc_hi, acc_lo, pad], axis=0)
@@ -141,9 +142,15 @@ _U16_STATIC = [
 ]
 
 
-def _ryser_kernel_u16(xhi_ref, xlo_ref, smid_ref, colsthi_ref, colstlo_ref,
-                      out_ref, *, r: int, df: bool, exact_storage: bool):
-    assert r >= 5, "u16 kernel needs the mid step on a j=16 boundary"
+def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
+                      colstlo_ref, out_ref, *, df: bool,
+                      exact_storage: bool):
+    """r (the log2 chunk length, >= 5 so the mid step lands on a j=16
+    boundary) is a RUNTIME scalar: the axon remote Mosaic compiler cannot
+    persist executables across processes, so one compiled kernel must
+    serve every chunk size (the compile key is only
+    (n_pad, L, B, df, exact_storage))."""
+    r = r_ref[0]
     n_pad, L = xhi_ref.shape
     nb_pad = colsthi_ref.shape[1]
     smid = smid_ref[:]                       # (1, L)
@@ -216,7 +223,7 @@ def _ryser_kernel_u16(xhi_ref, xlo_ref, smid_ref, colsthi_ref, colstlo_ref,
     acc_hi = phi
     acc_lo = plo if df else jnp.zeros_like(phi)
 
-    nb = 1 << (r - 4)            # 16-step blocks per chunk
+    nb = _I32(1) << (r - _I32(4))            # 16-step blocks per chunk
 
     def block(b, carry):
         s8 = jnp.where((b & _I32(1)) == _I32(0),
@@ -228,7 +235,7 @@ def _ryser_kernel_u16(xhi_ref, xlo_ref, smid_ref, colsthi_ref, colstlo_ref,
         k16 = c + _I32(4)
         s16 = jnp.where(((q >> (c + _I32(1))) & _I32(1)) == _I32(0),
                         jnp.float32(1), jnp.float32(-1))
-        s_row = jnp.where(k16 == _I32(r - 1), smid, s16)     # (1, L)
+        s_row = jnp.where(k16 == r - _I32(1), smid, s16)     # (1, L)
         sel = (lane_k == k16).astype(jnp.float32)
         ck_hi = jnp.sum(colst_hi * sel, axis=1, keepdims=True)
         ck_lo = (jnp.sum(colst_lo * sel, axis=1, keepdims=True)
@@ -241,11 +248,12 @@ def _ryser_kernel_u16(xhi_ref, xlo_ref, smid_ref, colsthi_ref, colstlo_ref,
         acc_hi, acc_lo = acc_add(acc_hi, acc_lo, phi, plo, True)
         return xhi, xlo, acc_hi, acc_lo
 
-    carry = lax.fori_loop(jnp.int32(0), jnp.int32(nb - 1), block,
+    carry = lax.fori_loop(_I32(0), nb - _I32(1), block,
                           (xhi0, xlo0, acc_hi, acc_lo))
     # final block: the 15 static steps only (m = 2**r belongs to the
-    # next chunk); its j=8 parity is the static value of nb-1
-    s8_last = jnp.float32(1) if (nb - 1) % 2 == 0 else jnp.float32(-1)
+    # next chunk); its j=8 parity is the parity of nb-1
+    s8_last = jnp.where(((nb - _I32(1)) & _I32(1)) == _I32(0),
+                        jnp.float32(1), jnp.float32(-1))
     _, _, acc_hi, acc_lo = static_steps(carry, s8_last)
 
     pad = jnp.zeros((6, L), dtype=jnp.float32)
@@ -254,7 +262,38 @@ def _ryser_kernel_u16(xhi_ref, xlo_ref, smid_ref, colsthi_ref, colstlo_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("r", "df", "exact_storage", "interpret"))
+    static_argnames=("use_u16", "df", "exact_storage", "interpret"))
+def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, *,
+                  use_u16: bool, df: bool, exact_storage: bool,
+                  interpret: bool):
+    B, n_pad, L = xhi.shape
+    kern_fn = _ryser_kernel_u16 if use_u16 else _ryser_kernel
+    kern = functools.partial(kern_fn, df=df, exact_storage=exact_storage)
+    flops_per = 2 * n_pad * (10 if df else 1)
+    # One pallas program per block, sequenced with lax.map rather than a
+    # pallas grid (the axon remote Mosaic compiler rejects gridded kernels;
+    # XLA's while-loop around a single-program kernel pipelines the
+    # HBM->VMEM block transfers just as well).  r rides in SMEM so the
+    # compile key is shape-only (the cost estimate uses a nominal 2^16).
+    call = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, L), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=L * (1 << 16) * flops_per,
+            bytes_accessed=int(n_pad) * L * 4 * 3, transcendentals=0),
+        interpret=interpret,
+    )
+
+    def one_block(args):
+        bxhi, bxlo, bsmid = args
+        return call(r_arr, bxhi, bxlo, bsmid, colst_hi, colst_lo)
+
+    return lax.map(one_block, (xhi, xlo, smid))
+
+
 def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
                    exact_storage: bool, interpret: bool = False):
     """Run the kernel over a block of chunks.
@@ -262,35 +301,19 @@ def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
     xhi/xlo: (B, n_pad, L) initialized lane x-vectors (hi/lo pair)
     smid:    (B, 1, L) mid-step signs
     colst_*: (n_pad, nb_pad) matrix columns, transposed (lane k = column k)
+    r:       log2 chunk length — a RUNTIME kernel argument; the compiled
+             kernel is reused across all r (axon cannot persist Mosaic
+             executables across processes, so shape-only compile keys
+             matter a lot).
     returns  (B, 8, L) f32; rows 0/1 are the hi/lo partial-sum pair.
+
+    u16 and the scalar kernel execute the IDENTICAL op sequence per Gray
+    term (add/sub vs mult-by-±1 are exact), so results are bitwise equal;
+    interpret mode sticks to the scalar kernel because XLA:CPU compile
+    time explodes on the unrolled body.
     """
-    B, n_pad, L = xhi.shape
-    # u16 and the scalar kernel execute the IDENTICAL op sequence per Gray
-    # term (add/sub vs mult-by-±1 are exact), so results are bitwise equal;
-    # interpret mode sticks to the scalar kernel because XLA:CPU compile
-    # time explodes on the unrolled body.
-    kern_fn = _ryser_kernel_u16 if (r >= 5 and not interpret) \
-        else _ryser_kernel
-    kern = functools.partial(kern_fn, r=r, df=df,
-                             exact_storage=exact_storage)
-    flops_per = 2 * n_pad * (10 if df else 1)
-    # One pallas program per block, sequenced with lax.map rather than a
-    # pallas grid (the axon remote Mosaic compiler rejects gridded kernels;
-    # XLA's while-loop around a single-program kernel pipelines the
-    # HBM->VMEM block transfers just as well).
-    call = pl.pallas_call(
-        kern,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, L), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=L * (1 << r) * flops_per,
-            bytes_accessed=int(n_pad) * L * 4 * 3, transcendentals=0),
-        interpret=interpret,
-    )
-
-    def one_block(args):
-        bxhi, bxlo, bsmid = args
-        return call(bxhi, bxlo, bsmid, colst_hi, colst_lo)
-
-    return lax.map(one_block, (xhi, xlo, smid))
+    use_u16 = bool(r >= 5 and not interpret)
+    r_arr = jnp.asarray([r], dtype=jnp.int32)
+    return _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo,
+                         use_u16=use_u16, df=df,
+                         exact_storage=exact_storage, interpret=interpret)

@@ -9,6 +9,9 @@ skipped *during* the walk (contrast the reference's SkipPer divergence,
 algo.h:885-1023) — a static equal split is load-balanced by construction,
 replacing the reference's OpenMP-critical-section chunk counter
 (gpu_exact_dense.cu:862-888) with something that also works across hosts.
+
+The chunk length r is a runtime argument end to end, so the sharded
+executable (cached per mesh + shapes below) serves every chunk size.
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import gray
-from ..ops.ryser_pallas import ryser_partials
+from ..ops.ryser_pallas import _partials_jit
 from .mesh import RANGE_AXIS
 
 
@@ -38,6 +41,30 @@ def pad_ids(ids: np.ndarray, lanes: int, num_shards: int):
     return padded.reshape(blocks, per_block)
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_fn(mesh: Mesh, n: int, n_pad: int, df: bool,
+                exact_storage: bool, use_u16: bool, interpret: bool):
+    """jitted shard_map executable, cached per (mesh, statics) so repeated
+    calls (and different r values) reuse one compile."""
+    init_df = df and not exact_storage
+
+    def local(r_arr, ids_blk, x0p, colsp, cth, ctl):
+        xhi, xlo, smid = gray.chunk_init(ids_blk, x0p, colsp, n=n,
+                                         n_pad=n_pad, r=r_arr[0],
+                                         df=init_df)
+        return _partials_jit(r_arr, xhi, xlo, smid, cth, ctl,
+                             use_u16=use_u16, df=df,
+                             exact_storage=exact_storage,
+                             interpret=interpret)
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(RANGE_AXIS), P(), P(), P(), P()),
+        out_specs=P(RANGE_AXIS),
+        check_vma=False)
+    return jax.jit(f)
+
+
 def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
                      colst_hi, colst_lo, plan: gray.RyserPlan, *,
                      df: bool, exact_storage: bool,
@@ -49,26 +76,21 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
     """
     n, n_pad, r = plan.n, plan.n_pad, plan.r
     init_df = df and not exact_storage
-
-    def local(ids_blk, x0p, colsp, cth, ctl):
-        xhi, xlo, smid = gray.chunk_init(ids_blk, x0p, colsp,
-                                         n=n, n_pad=n_pad, r=r, df=init_df)
-        out = ryser_partials(xhi, xlo, smid, cth, ctl, r=r, df=df,
-                             exact_storage=exact_storage,
-                             interpret=interpret)
-        return out
+    use_u16 = bool(r >= 5 and not interpret)
 
     args = (jnp.asarray(ids_blocks), jnp.asarray(x0_pair),
             jnp.asarray(cols_pair), jnp.asarray(colst_hi),
             jnp.asarray(colst_lo))
     if mesh is None or np.prod(mesh.devices.shape) == 1:
-        out = local(*args)
+        from ..ops.ryser_pallas import ryser_partials
+        xhi, xlo, smid = gray.chunk_init(args[0], args[1], args[2],
+                                         n=n, n_pad=n_pad, r=r, df=init_df)
+        out = ryser_partials(xhi, xlo, smid, args[3], args[4], r=r, df=df,
+                             exact_storage=exact_storage,
+                             interpret=interpret)
     else:
-        f = shard_map(
-            local, mesh=mesh,
-            in_specs=(P(RANGE_AXIS), P(), P(), P(), P()),
-            out_specs=P(RANGE_AXIS),
-            check_vma=False)
-        out = jax.jit(f)(*args)
+        fn = _sharded_fn(mesh, n, n_pad, df, exact_storage, use_u16,
+                         interpret)
+        out = fn(jnp.asarray([r], dtype=jnp.int32), *args)
     out = np.asarray(out, dtype=np.float64)      # (B, 8, L)
     return out[:, 0, :] + out[:, 1, :]           # hi + lo, exact in f64

@@ -22,9 +22,10 @@ def test_calc_modes_match_oracle_n22(rng, calc):
     want = perman64(a)
     res = sp.permanent(a, calc=calc)
     # f32 is the speed mode: the default plan picks long chunks, so f32
-    # per-lane accumulation error is ~1e-4..1e-3 (documented; df64 is the
-    # accuracy mode)
-    rel = 1e-3 if calc == "f32" else 1e-12
+    # per-lane accumulation error is ~1e-4..1e-3 (documented); df64 is
+    # the accuracy mode (~1e-10, bounded by chunk-length x 2^-48);
+    # f64 is IEEE double
+    rel = {"f32": 1e-3, "df64": 1e-10, "f64": 1e-12}[calc]
     assert res.permanent == pytest.approx(want, rel=rel)
 
 

@@ -112,7 +112,13 @@ def _scaling_trial(key, a, nz, n, scale_intervals, scale_times):
         w = dr[row] * a[row] * dc * colm
         col, pj, total = _uniform_choice(k1, w)
         dead = dead | (total == 0)
-        logx = logx - jnp.log2(jnp.maximum(pj, 1e-37))
+        # X *= a[row, col] / pj.  The reference divides by pj only
+        # (algo.h:551 `Xa /= pj`), which estimates the 0/1-PATTERN
+        # permanent when the matrix is weighted; including the a factor
+        # makes the estimator unbiased for weights and is identical on
+        # binary input.
+        logx = (logx + jnp.log2(jnp.maximum(a[row, col], 1e-37))
+                - jnp.log2(jnp.maximum(pj, 1e-37)))
         colm = colm.at[col].set(0.0)
         rowm = rowm.at[row].set(0.0)
         return key, colm, rowm, dr, dc, logx, dead
@@ -135,6 +141,28 @@ def _run_batch(keys, a, nz, *, algo, n, scale_intervals, scale_times):
     return jax.vmap(f)(keys)
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_batch(mesh, algo, n, scale_intervals, scale_times):
+    """Trial sharding over the mesh (reference multi-device estimators,
+    gpu_perman64_rasmussen_multigpucpu_chunks etc.): trials are
+    embarrassingly parallel, so the keys batch is split over the 1-D mesh
+    and per-device results come back sharded."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from ..parallel.mesh import RANGE_AXIS
+
+    def local(keys, a, nz):
+        return _run_batch(keys, a, nz, algo=algo, n=n,
+                          scale_intervals=scale_intervals,
+                          scale_times=scale_times)
+
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P(RANGE_AXIS), P(), P()),
+                  out_specs=(P(RANGE_AXIS), P(RANGE_AXIS)),
+                  check_vma=False)
+    return jax.jit(f)
+
+
 def approximate(dense: DenseMatrix, flags) -> Result:
     a = np.asarray(dense.mat, dtype=np.float64)
     n = a.shape[0]
@@ -154,18 +182,31 @@ def approximate(dense: DenseMatrix, flags) -> Result:
     aj = jnp.asarray(a, jnp.float32)
     key = jax.random.PRNGKey(flags.seed)
 
+    from ..parallel.mesh import mesh_for_flags
+    mesh = mesh_for_flags(flags)
+    nshards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    if nshards > 1:
+        fn = _sharded_batch(mesh, algo, n, int(flags.scale_intervals),
+                            int(flags.scale_times))
     total = 0.0
     zeros = 0
     done = 0
+    batch = -(-batch // nshards) * nshards
     while done < trials:
+        # always launch a full batch (ONE compiled shape); count only the
+        # first b trials of the last one
         b = min(batch, trials - done)
         key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, b)
-        logs, dead = _run_batch(keys, aj, nz, algo=algo, n=n,
-                                scale_intervals=int(flags.scale_intervals),
-                                scale_times=int(flags.scale_times))
-        logs = np.asarray(logs, np.float64)
-        dead = np.asarray(dead)
+        keys = jax.random.split(sub, batch)
+        if nshards > 1:
+            logs, dead = fn(keys, aj, nz)
+        else:
+            logs, dead = _run_batch(
+                keys, aj, nz, algo=algo, n=n,
+                scale_intervals=int(flags.scale_intervals),
+                scale_times=int(flags.scale_times))
+        logs = np.asarray(logs, np.float64)[:b]
+        dead = np.asarray(dead)[:b]
         total += float(np.sum(np.where(dead, 0.0, np.exp2(logs))))
         zeros += int(dead.sum())
         done += b

@@ -53,3 +53,28 @@ def test_grid_graph_approx():
 def test_odd_grid_rejected():
     with pytest.raises(ValueError):
         sp.grid_permanent(3, 3)
+
+
+def test_scaling_estimator_unbiased_on_weights(rng):
+    """Improvement over the reference: `Xa /= pj` alone estimates the
+    0/1-pattern permanent on weighted input (algo.h:551); including the
+    a[row,col] factor makes the estimator unbiased for weights."""
+    a = (rng.random((9, 9)) < 0.7).astype(np.float64)
+    np.fill_diagonal(a, 1)
+    a *= rng.uniform(0.5, 3.0, (9, 9))
+    from superman_tpu.ops.oracle import perman64
+    want = float(perman64(a))
+    r = sp.permanent(a, approximation=True, perman_algo="scaling",
+                     number_of_times=30000, seed=3)
+    assert r.permanent == pytest.approx(want, rel=0.2)
+
+
+def test_sharded_trials_converge(rng):
+    """Trial sharding over the virtual mesh (reference multi-device
+    estimator ids 3/4)."""
+    a = (rng.random((10, 10)) < 0.6).astype(np.int64)
+    np.fill_diagonal(a, 1)
+    want = perman_brute(a)
+    r = sp.permanent(a, approximation=True, perman_algo="scaling",
+                     number_of_times=20000, seed=4, mesh_shape=(4,))
+    assert r.permanent == pytest.approx(want, rel=0.2)

@@ -29,7 +29,8 @@ def _as_dense(m, flags: Flags) -> DenseMatrix:
         dm = m
     elif isinstance(m, str):
         from .io.matrixmarket import read_any
-        dm = read_any(m, flags.binary_graph, flags.storage_half_precision)
+        dm = read_any(m, flags.binary_graph, flags.storage_half_precision,
+                      flags.storage_quad_precision)
         flags.filename = m
     else:
         a = np.asarray(m)

@@ -44,7 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-y", "--scaleIntervals", type=int, default=4)
     p.add_argument("-z", "--scaleTimes", type=int, default=5)
     p.add_argument("-r", "--preprocessing", type=int, default=0,
-                   choices=(0, 1, 2))
+                   choices=tuple(range(8)),
+                   help="0 none, 1 SortOrder, 2 SkipOrder, 3 RCM, 4 BFS, "
+                        "5 rowdeg, 6 firstseen, 7 coldeg-desc")
     p.add_argument("-i", "--grid", action="store_true")
     p.add_argument("-m", "--gridm", type=int, default=36)
     p.add_argument("-n", "--gridn", type=int, default=36)
@@ -83,7 +85,10 @@ def flags_from_args(args) -> Flags:
     if args.approximation:
         algo = _APPROX_NAMES.get(algo, algo)
         if str(args.perman) in ("3", "4"):
+            # reference ids 3/4 = multigpucpu_chunks estimators: trials
+            # shard over the mesh, and -c adds the CPU trial worker
             mesh_shape = (max(args.device, 2),)
+            hybrid = True
     else:
         if algo in _SKIPPER_IDS:
             sparse = True

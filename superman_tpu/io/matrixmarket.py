@@ -16,7 +16,8 @@ from ..core.matrix import DenseMatrix
 
 
 def read_matrix_market(path: str, binary_graph: bool = False,
-                       storage_half: bool = False) -> DenseMatrix:
+                       storage_half: bool = False,
+                       storage_quad: bool = False) -> DenseMatrix:
     with open(path) as f:
         banner = f.readline().strip().split()
         if len(banner) < 5 or banner[0] != "%%MatrixMarket":
@@ -40,6 +41,10 @@ def read_matrix_market(path: str, binary_graph: bool = False,
             type_name, dtype = "int", np.int64
         elif field == "pattern" or binary_graph:
             type_name, dtype = "int", np.int64
+        elif storage_quad:
+            # reference -v: __float128 storage; host long double captures
+            # >53-bit literals and feeds the quad calc path losslessly
+            type_name, dtype = "double", np.longdouble
         else:
             type_name, dtype = ("float", np.float32) if storage_half else (
                 "double", np.float64)
@@ -62,12 +67,14 @@ def read_matrix_market(path: str, binary_graph: bool = False,
 
 
 def read_any(path: str, binary_graph: bool = False,
-             storage_half: bool = False) -> DenseMatrix:
+             storage_half: bool = False,
+             storage_quad: bool = False) -> DenseMatrix:
     """Dispatch on content: MatrixMarket banner vs v1 triplet header."""
     with open(path) as f:
         first = f.readline()
     if first.startswith("%%MatrixMarket"):
-        return read_matrix_market(path, binary_graph, storage_half)
+        return read_matrix_market(path, binary_graph, storage_half,
+                                  storage_quad)
     from .triplet import read_triplet
     dm = read_triplet(path, binary_graph)
     if storage_half and dm.type != "int":

@@ -482,7 +482,11 @@ double sup_approx_scaling(const double* a, int n, long long trials,
             if (u <= run) { col = j; pj = w / tot; break; }
           }
         if (col < 0) { dead = true; break; }
-        logx -= std::log2(pj);
+        // X *= a[row,col] / pj: including the a factor makes the
+        // estimator unbiased for weighted matrices (the reference's
+        // Xa /= pj alone, algo.h:551, estimates the 0/1-pattern
+        // permanent); identical on binary input.
+        logx += std::log2(a[row * n + col]) - std::log2(pj);
         colm &= ~(1ull << col);
         rowm &= ~(1ull << row);
       }

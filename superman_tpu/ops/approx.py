@@ -191,6 +191,46 @@ def approximate(dense: DenseMatrix, flags) -> Result:
     total = 0.0
     zeros = 0
     done = 0
+
+    # hybrid trial chunking (reference _multigpucpu_chunks estimators,
+    # gpu_approximation_dense.cu:411-524, cpu_chunk = 50000): a CPU
+    # thread consumes trial chunks through the native engine while the
+    # accelerator loop below consumes the rest; the estimate is
+    # sum(partials) / trials-actually-run, like the reference.
+    cpu_state = {"sum": 0.0, "trials": 0, "zeros": 0}
+    cpu_thread = None
+    if getattr(flags, "hybrid", False) and flags.cpu:
+        from ..bindings.native import native_available, load
+        if native_available():
+            import ctypes
+            import threading
+            lib = load()
+            an = np.ascontiguousarray(
+                (a != 0).astype(np.float64) if algo == "rasmussen" else a)
+            cpu_chunk = 50000
+            stop = {"flag": False}
+
+            def cpu_worker():
+                seed = int(flags.seed) + 777
+                while not stop["flag"]:
+                    z = ctypes.c_double(0.0)
+                    if algo == "rasmussen":
+                        m = lib.sup_rasmussen(an, n, cpu_chunk,
+                                              int(flags.threads), seed,
+                                              ctypes.byref(z))
+                    else:
+                        m = lib.sup_approx_scaling(
+                            an, n, cpu_chunk, int(flags.scale_intervals),
+                            int(flags.scale_times), int(flags.threads),
+                            seed, ctypes.byref(z))
+                    cpu_state["sum"] += m * cpu_chunk
+                    cpu_state["trials"] += cpu_chunk
+                    cpu_state["zeros"] += int(z.value)
+                    seed += 1
+
+            cpu_thread = threading.Thread(target=cpu_worker,
+                                          name="approx-cpu")
+            cpu_thread.start()
     batch = -(-batch // nshards) * nshards
     while done < trials:
         # always launch a full batch (ONE compiled shape); count only the
@@ -210,10 +250,18 @@ def approximate(dense: DenseMatrix, flags) -> Result:
         total += float(np.sum(np.where(dead, 0.0, np.exp2(logs))))
         zeros += int(dead.sum())
         done += b
-    est = total / trials
+    if cpu_thread is not None:
+        stop["flag"] = True
+        cpu_thread.join()
+        total += cpu_state["sum"]
+        done += cpu_state["trials"]
+        zeros += cpu_state["zeros"]
+    est = total / done
+    name = f"approx_{algo}" + ("_hybrid" if cpu_thread is not None else "")
     return Result(est, _time.perf_counter() - t0,
-                  algo_name=f"approx_{algo}", zeros=zeros,
-                  iterations=trials,
-                  meta={"trials": trials, "scale_intervals":
+                  algo_name=name, zeros=zeros,
+                  iterations=done,
+                  meta={"trials": done, "scale_intervals":
                         flags.scale_intervals, "scale_times":
-                        flags.scale_times})
+                        flags.scale_times,
+                        "cpu_trials": cpu_state["trials"]})

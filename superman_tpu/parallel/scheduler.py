@@ -19,7 +19,11 @@ with thread `gpu_num` running the OpenMP CPU kernel.  TPU-native redesign:
   shaped for it — SURVEY.md §5);
 * a unit that raises is retried (up to 3 attempts) before the run is
   failed with the offending unit id — failure detection the reference
-  lacks (it exit(1)s).
+  lacks (it exit(1)s);
+* the reference's manual static distribution (hard-coded 3/8,3/8,1/8,1/8
+  fractions for a heterogeneous box,
+  gpu_exact_dense.cu:941-968) is subsumed: dynamic pulling gives every
+  worker exactly the fraction it can sustain, with no hand tuning.
 
 Exactness: unit partials are raw Gray-term sums over the row-scaled
 matrix; for integer matrices every partial is exactly representable, so

@@ -56,15 +56,113 @@ def skip_order(a: np.ndarray):
     return np.asarray(row_perm, dtype=np.int64), col_perm
 
 
-def apply_preprocessing(dense: DenseMatrix, preprocessing: int) -> DenseMatrix:
-    """0: none; 1: SortOrder; 2: SkipOrder (the -r flag)."""
-    if preprocessing == 0:
-        return dense
+def row_deg_order(a: np.ndarray, inc: bool = True) -> np.ndarray:
+    """Row permutation by degree (sparyser sortWRowDeg, kutils.h:311)."""
+    degs = (a != 0).sum(axis=1)
+    order = np.argsort(degs, kind="stable")
+    return order if inc else order[::-1]
+
+
+def first_seen_row_order(a: np.ndarray) -> np.ndarray:
+    """Rows by first appearance scanning columns left to right (sparyser
+    firstSeenRow, kutils.h:372)."""
+    n = a.shape[0]
+    seen = np.zeros(n, dtype=bool)
+    perm = []
+    for j in range(n):
+        for r in np.nonzero(a[:, j])[0]:
+            if not seen[r]:
+                seen[r] = True
+                perm.append(r)
+    perm.extend(r for r in range(n) if not seen[r])
+    return np.asarray(perm, dtype=np.int64)
+
+
+def _sym_pattern(a: np.ndarray) -> np.ndarray:
+    nz = a != 0
+    return nz | nz.T
+
+
+def bfs_order(a: np.ndarray) -> np.ndarray:
+    """BFS vertex order on the symmetrized pattern, started from a
+    minimum-degree vertex; restarts per component (sparyser bfsOrder,
+    kutils.h:479)."""
+    g = _sym_pattern(a)
+    n = a.shape[0]
+    deg = g.sum(axis=1)
+    visited = np.zeros(n, dtype=bool)
+    order = []
+    while len(order) < n:
+        start = min((i for i in range(n) if not visited[i]),
+                    key=lambda i: deg[i])
+        queue = [start]
+        visited[start] = True
+        while queue:
+            v = queue.pop(0)
+            order.append(v)
+            nbrs = np.nonzero(g[v] & ~visited)[0]
+            visited[nbrs] = True
+            queue.extend(nbrs.tolist())
+    return np.asarray(order, dtype=np.int64)
+
+
+def rcm_order(a: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill–McKee on the symmetrized pattern: BFS with
+    neighbours enqueued in ascending-degree order, then reversed
+    (sparyser sortRCM / vendored rcm.cpp — own implementation)."""
+    g = _sym_pattern(a)
+    n = a.shape[0]
+    deg = g.sum(axis=1)
+    visited = np.zeros(n, dtype=bool)
+    order = []
+    while len(order) < n:
+        start = min((i for i in range(n) if not visited[i]),
+                    key=lambda i: deg[i])
+        queue = [start]
+        visited[start] = True
+        while queue:
+            v = queue.pop(0)
+            order.append(v)
+            nbrs = np.nonzero(g[v] & ~visited)[0]
+            nbrs = nbrs[np.argsort(deg[nbrs], kind="stable")]
+            visited[nbrs] = True
+            queue.extend(nbrs.tolist())
+    return np.asarray(order[::-1], dtype=np.int64)
+
+
+# preprocessing selector: reference -r {0,1,2} plus the sparyser ordering
+# menu (sortWRowDeg/sortWColDeg/firstSeenRow/sortRCM/bfsOrder/sortMinNew —
+# sortMinNew is exactly skip_order's greedy)
+_NAMES = {0: "none", 1: "sort", 2: "skip", 3: "rcm", 4: "bfs",
+          5: "rowdeg", 6: "firstseen", 7: "coldeg_dec"}
+
+
+def apply_preprocessing(dense: DenseMatrix, preprocessing) -> DenseMatrix:
+    """0/'none'; 1/'sort' (SortOrder); 2/'skip'/'minnew' (SkipOrder);
+    3/'rcm'; 4/'bfs'; 5/'rowdeg'; 6/'firstseen'; 7/'coldeg_dec'."""
+    kind = _NAMES.get(preprocessing, preprocessing)
     a = dense.mat
-    if preprocessing == 1:
+    if kind == "none":
+        return dense
+    if kind == "sort":
         cp = sort_order(a)
         return DenseMatrix(np.ascontiguousarray(a[:, cp]), dense.type)
-    if preprocessing == 2:
+    if kind in ("skip", "minnew"):
         rp, cp = skip_order(a)
         return DenseMatrix(np.ascontiguousarray(a[rp][:, cp]), dense.type)
-    raise ValueError(f"unknown preprocessing {preprocessing}")
+    if kind == "rcm":
+        p = rcm_order(a)
+        return DenseMatrix(np.ascontiguousarray(a[p][:, p]), dense.type)
+    if kind == "bfs":
+        p = bfs_order(a)
+        return DenseMatrix(np.ascontiguousarray(a[p][:, p]), dense.type)
+    if kind == "rowdeg":
+        rp = row_deg_order(a)
+        return DenseMatrix(np.ascontiguousarray(a[rp]), dense.type)
+    if kind == "firstseen":
+        rp = first_seen_row_order(a)
+        return DenseMatrix(np.ascontiguousarray(a[rp]), dense.type)
+    if kind == "coldeg_dec":
+        cp = sort_order(a)[::-1]
+        return DenseMatrix(np.ascontiguousarray(a[:, cp]), dense.type)
+    raise ValueError(f"unknown preprocessing {preprocessing!r}")

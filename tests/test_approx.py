@@ -78,3 +78,21 @@ def test_sharded_trials_converge(rng):
     r = sp.permanent(a, approximation=True, perman_algo="scaling",
                      number_of_times=20000, seed=4, mesh_shape=(4,))
     assert r.permanent == pytest.approx(want, rel=0.2)
+
+
+def test_hybrid_approx_with_cpu(rng):
+    """Hybrid trial chunking (reference _multigpucpu_chunks estimators):
+    a native-CPU thread consumes 50k-trial chunks alongside the
+    accelerator loop; the estimate is sum / trials-actually-run."""
+    from superman_tpu.bindings.native import native_available
+    if not native_available():
+        pytest.skip("no native engine")
+    a = (rng.random((10, 10)) < 0.6).astype(np.int64)
+    np.fill_diagonal(a, 1)
+    want = perman_brute(a)
+    r = sp.permanent(a, approximation=True, perman_algo="scaling",
+                     number_of_times=30000, seed=5,
+                     hybrid=True, cpu=True, gpu=True, threads=2)
+    assert r.iterations >= 30000
+    assert r.permanent == pytest.approx(want, rel=0.2)
+    assert r.algo_name.endswith("_hybrid")

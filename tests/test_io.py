@@ -86,3 +86,19 @@ def test_cli_smoke(rng, tmp_path, capsys):
 def test_cli_requires_file(capsys):
     from superman_tpu.cli import main
     assert main([]) == 1
+
+
+def test_storage_quad_reads_longdouble(tmp_path):
+    """-v parity: long-double storage captures >53-bit literals and feeds
+    the quad calc path losslessly."""
+    p = tmp_path / "q.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real general\n"
+                 "2 2 4\n"
+                 "1 1 1.00000000000000000001\n1 2 1\n2 1 1\n2 2 1\n")
+    from superman_tpu.io.matrixmarket import read_any
+    dm = read_any(str(p), storage_quad=True)
+    assert dm.mat.dtype == np.longdouble
+    import superman_tpu as sp
+    r = sp.permanent(str(p), storage_quad_precision=True,
+                     calculation_quad_precision=True)
+    assert r.permanent == pytest.approx(2.0, rel=1e-12)

@@ -21,11 +21,22 @@ def _sparse_with_low_degrees(rng, n=12):
     return a
 
 
-@pytest.mark.parametrize("prep", [1, 2])
+@pytest.mark.parametrize("prep", [1, 2, 3, 4, 5, 6, 7,
+                                  "rcm", "bfs", "minnew"])
 def test_orderings_preserve_permanent(rng, prep):
     a = random_int_matrix(rng, 10, 0.4)
     dm = apply_preprocessing(DenseMatrix(a, "int"), prep)
     assert perman_brute(dm.mat) == perman_brute(a)
+
+
+def test_orderings_are_permutations(rng):
+    from superman_tpu.prep.orderings import (bfs_order, rcm_order,
+                                             first_seen_row_order,
+                                             row_deg_order)
+    a = random_int_matrix(rng, 12, 0.3)
+    for f in (bfs_order, rcm_order, first_seen_row_order, row_deg_order):
+        p = f(a)
+        assert sorted(p.tolist()) == list(range(12)), f.__name__
 
 
 def test_d1_d2_preserve(rng):

@@ -47,6 +47,13 @@ def main():
     sp.permanent(dm, calc="f32")
     f32 = best_of(lambda: sp.permanent(dm, calc="f32"))
 
+    # sparse floor: the only measured reference numbers are CPU SkipPer
+    # 0.563-1.30 s on n=32 d=0.20 (BASELINE.md)
+    sdm = read_triplet("/root/reference/int/32_0.20_0")
+    sp.permanent(sdm, sparse=True, preprocessing=2, calc="df64")
+    sparse = best_of(lambda: sp.permanent(sdm, sparse=True,
+                                          preprocessing=2, calc="df64"))
+
     print(json.dumps({
         "metric": "n32_dense_exact_gray_iters_per_sec_per_chip",
         "value": round(iters_per_sec / 1e9, 4),
@@ -61,6 +68,8 @@ def main():
             "f32_g_iters_per_sec": round(f32.iterations / f32.time / 1e9,
                                          4),
             "f32_wall_s": round(f32.time, 4),
+            "sparse_n32_d020_wall_s": round(sparse.time, 4),
+            "sparse_ref_cpu_skipper_s": [0.563, 1.30],
         },
     }))
 

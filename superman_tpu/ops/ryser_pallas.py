@@ -21,6 +21,16 @@ Calc modes:
 An `exact_storage` flag marks matrices whose values and half-integer x are
 exact in f32 (int suites): their x-updates stay plain f32 (exact), which is
 the common fast case.
+
+Measured negative result (do not re-try without new evidence): a sparse
+"split-product" variant — caching the tail half's product Q per 16-step
+block when columns 0..3 only touch head rows, so each static step re-does
+only the head tree — is SLOWER (0.76 s vs 0.48 s, n=32 df64).  The df64
+tree cost is dominated by its ~log2(n_pad) df_mul LEVELS (each ~1
+vreg-op regardless of row count), not by rows, and the extra Q-multiply
+lengthens the per-step dependency chain, which is the actual limiter
+(dependent-chain probe: single-chain f32 FMA runs at ~0.1 Tflop/s vs
+~0.65 Tflop/s with 16 independent chains).
 """
 
 from __future__ import annotations

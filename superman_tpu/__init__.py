@@ -32,6 +32,12 @@ if not _os.environ.get("SUPERMAN_NO_CC"):
     except (OSError, AttributeError):
         pass
 
+# float-anomaly tracing (the reference only has commented-out
+# nvcc-fpchecker targets, revised_perman/Makefile:59-76): set
+# SUPERMAN_DEBUG_NANS=1 to fail fast on NaN/Inf in any device computation.
+if _os.environ.get("SUPERMAN_DEBUG_NANS"):
+    _jax.config.update("jax_debug_nans", True)
+
 from .core.flags import Flags
 from .core.result import Result
 from .core.matrix import DenseMatrix, SparseMatrix, matrix2compressed

@@ -25,6 +25,9 @@ def _as_dense(m, flags: Flags) -> DenseMatrix:
         dm = grid_graph_matrix(flags.gridm, flags.gridn)
         flags.type = dm.type
         return dm
+    from .core.matrix import SparseMatrix
+    if isinstance(m, SparseMatrix):
+        m = m.to_dense()
     if isinstance(m, DenseMatrix):
         dm = m
     elif isinstance(m, str):

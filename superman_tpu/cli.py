@@ -137,6 +137,8 @@ def main(argv=None) -> int:
         print("Error: -f/--file is required (or -i for grid graphs)",
               file=sys.stderr)
         return 1
+    from .parallel.mesh import init_distributed
+    init_distributed()   # no-op unless JAX_COORDINATOR_ADDRESS is set
     flags = flags_from_args(args)
     print_flags(flags)
 

@@ -70,6 +70,14 @@ class SparseMatrix:
     def row_nnz(self) -> np.ndarray:
         return np.diff(self.rptrs)
 
+    def to_dense(self, type_name: str = "double") -> "DenseMatrix":
+        a = np.zeros((self.nov, self.nov),
+                     dtype=_TYPE_NAMES.get(type_name, np.float64))
+        for j in range(self.nov):
+            sl = slice(self.cptrs[j], self.cptrs[j + 1])
+            a[self.rows[sl], j] = self.cvals[sl]
+        return DenseMatrix(a, type_name)
+
 
 def matrix2compressed(dense: DenseMatrix) -> SparseMatrix:
     """Build CCS+CRS from the dense array (reference util.h:522-551).

@@ -117,7 +117,7 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
                   if mesh is not None else 1)
     plan = gray.make_plan(
         n, flags.lanes, flags.chunk_log2, df=df, num_shards=num_shards,
-        min_blocks=32 if flags.hybrid else 1,
+        min_blocks=32 if (flags.hybrid or flags.checkpoint_path) else 1,
         sparse=flags.sparse and flags.skip_pruning)
     if chunk_ids is None and flags.sparse and flags.skip_pruning:
         from .pruning import live_chunks
@@ -131,7 +131,9 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
                 plan = gray.make_plan(
                     n, flags.lanes, flags.chunk_log2, df=df,
                     num_shards=num_shards,
-                    min_blocks=32 if flags.hybrid else 1, sparse=False)
+                    min_blocks=32 if (flags.hybrid
+                                      or flags.checkpoint_path) else 1,
+                    sparse=False)
                 chunk_ids = None
     if chunk_ids is None:
         chunk_ids = np.arange(plan.num_chunks, dtype=np.int64)
@@ -163,7 +165,9 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
                                              )[:, None]
         x0_pair, cols_pair = gray.pack_matrix(a_s, plan.n_pad)
         cth, ctl = colst_pack(a_s, plan.n_pad)
-        if flags.hybrid:
+        # a checkpoint path routes through the journaling scheduler even
+        # without the CPU helper (TPU-only unit queue)
+        if flags.hybrid or flags.checkpoint_path:
             from ..parallel.scheduler import compute_partials_hybrid
             total, hybrid_stats = compute_partials_hybrid(
                 a_s, ids_blocks, x0_pair, cols_pair, cth, ctl, plan,

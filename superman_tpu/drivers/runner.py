@@ -52,7 +52,14 @@ def run_algo(dense: DenseMatrix, flags: Flags) -> Result:
     # dead-chunk pruning (TPU SkipPer) happens inside ryser_exact, which
     # owns the chunk plan
     from ..ops.ryser import ryser_exact
-    res = ryser_exact(dm, flags, mesh=mesh)
+    import contextlib
+    import jax
+    devs = jax.devices()
+    ctx = (jax.default_device(devs[flags.device_id])
+           if mesh is None and 0 < flags.device_id < len(devs)
+           else contextlib.nullcontext())   # -l device select (flags.h -l)
+    with ctx:
+        res = ryser_exact(dm, flags, mesh=mesh)
     if flags.sparse:
         res.algo_name = res.algo_name.replace("ryser", "sparyser")
     flags.algo_name = res.algo_name

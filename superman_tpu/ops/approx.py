@@ -84,21 +84,26 @@ def _scaling_trial(key, a, nz, n, scale_intervals, scale_times):
     def step(k, carry):
         key, colm, rowm, dr, dc, logx, dead = carry
         key, k1 = jax.random.split(key)
-        # min residual-degree row
-        nnz = jnp.sum(nz * colm[None, :], axis=1)
+        # min residual-degree row (matvec -> MXU under vmap)
+        nnz = jnp.dot(nz, colm, preferred_element_type=jnp.float32)
         masked = jnp.where(rowm > 0, nnz, jnp.float32(1e9))
         row = jnp.argmin(masked)
 
-        # periodic Sinkhorn on the unextracted submatrix
+        # periodic Sinkhorn on the unextracted submatrix; the row/col sums
+        # are matvecs so vmapped trials become (B, n) @ (n, n) MXU matmuls
+        # (the reference stages these as per-thread loops,
+        # gpu_approximation_dense.cu:281-324)
         def sinkhorn(args):
             dr, dc, dead = args
             def sweep(_, s):
                 dr, dc, dead = s
-                colsum = jnp.sum(a * (dr * rowm)[:, None], axis=0) * colm
+                colsum = jnp.dot(dr * rowm, a,
+                                 preferred_element_type=jnp.float32) * colm
                 dead = dead | jnp.any((colsum == 0) & (colm > 0))
                 dc = jnp.where(colm > 0,
                                1.0 / jnp.where(colsum > 0, colsum, 1.0), dc)
-                rowsum = jnp.sum(a * (dc * colm)[None, :], axis=1) * rowm
+                rowsum = jnp.dot(a, dc * colm,
+                                 preferred_element_type=jnp.float32) * rowm
                 dead = dead | jnp.any((rowsum == 0) & (rowm > 0))
                 dr = jnp.where(rowm > 0,
                                1.0 / jnp.where(rowsum > 0, rowsum, 1.0), dr)

@@ -95,48 +95,77 @@ def join_f64(hi, lo) -> np.ndarray:
 
 
 # ------------------------------------------------------------ tree products
+#
+# Sublane alignment is load-bearing: slicing an (s, L) array at a row
+# offset that is not a multiple of 8 forces a Mosaic relayout (cross-
+# sublane shift) PER OP, which measured ~70x slower on n_pad=40 when the
+# tree halved 40 -> 20 -> 10 -> 5.  Non-power-of-two sizes therefore
+# first fold aligned 8-row groups (slices at multiples of 8 only), then
+# run the power-of-two ladder from 8.
+
 
 def tree_prod_f32(x):
     """Product over axis 0 of an (s, L) f32 array, log-depth tree.
-
-    Axis-0 length must be a power of two or 5*2^k (the padded n layouts this
-    engine uses); general sizes fall back to jnp.prod.
-    """
+    s must be a power of two or a multiple of 8."""
     s = x.shape[0]
-    while s > 1 and s % 2 == 0:
+    if s & (s - 1) != 0:
+        assert s % 8 == 0, f"pad axis 0 to a multiple of 8, got {s}"
+        p = x[0:8] * x[8:16]
+        for b in range(2, s // 8):
+            p = p * x[8 * b:8 * b + 8]
+        x, s = p, 8
+    while s > 1:
         s //= 2
         x = x[:s] * x[s:]
-    if s == 5:
-        return x[0:1] * x[1:2] * x[2:3] * x[3:4] * x[4:5]
-    if s == 1:
-        return x
-    return jnp.prod(x, axis=0, keepdims=True)
+    return x
 
 
 def tree_prod_df64(x):
     """Exact-leaning product over axis 0 of (s, L) f32 -> df64 (hi, lo).
 
     Level 1 uses exact TwoProd on f32 pairs; higher levels are df64
-    multiplies.  Relative error ~ depth * 2^-48.
-    """
+    multiplies.  Relative error ~ depth * 2^-48.  s must be a power of
+    two or a multiple of 8 (aligned 8-row groups fold first)."""
     s = x.shape[0]
-    assert s % 2 == 0, "pad axis 0 to an even size"
-    h = s // 2
-    hi, lo = two_prod(x[:h], x[h:])
-    s = h
-    while s > 1 and s % 2 == 0:
+    if s & (s - 1) != 0:
+        assert s % 8 == 0, f"pad axis 0 to a multiple of 8, got {s}"
+        hi, lo = two_prod(x[0:8], x[8:16])
+        for b in range(2, s // 8):
+            hi, lo = df_mul_f32(hi, lo, x[8 * b:8 * b + 8])
+        s = 8
+    else:
+        h = s // 2
+        hi, lo = two_prod(x[:h], x[h:])
+        s = h
+    while s > 1:
         s //= 2
         hi, lo = df_mul(hi[:s], lo[:s], hi[s:], lo[s:])
-    if s == 5:
-        return _prod5(hi, lo)
-    assert s == 1, f"unsupported tree size {s}"
     return hi, lo
 
 
-def _prod5(hi, lo):
-    """Product of the 5 rows of an (5, L) df64 pair -> (1, L)."""
-    phi, plo = df_mul(hi[0:1], lo[0:1], hi[1:2], lo[1:2])
-    phi, plo = df_mul(phi, plo, hi[2:3], lo[2:3])
-    phi, plo = df_mul(phi, plo, hi[3:4], lo[3:4])
-    phi, plo = df_mul(phi, plo, hi[4:5], lo[4:5])
-    return phi, plo
+def tree_prod_full_df(xhi, xlo):
+    """Product over axis 0 of an (s, L) df64 PAIR -> (1, L) df64.
+    Level 1 folds the lo parts into the exact TwoProd by one df
+    correction; higher levels are df64 multiplies."""
+    s = xhi.shape[0]
+
+    def pair_l1(ahi, alo, bhi, blo):
+        phi, plo = two_prod(ahi, bhi)
+        plo = plo + (ahi * blo + alo * bhi)
+        return quick_two_sum(phi, plo)
+
+    if s & (s - 1) != 0:
+        assert s % 8 == 0, f"pad axis 0 to a multiple of 8, got {s}"
+        hi, lo = pair_l1(xhi[0:8], xlo[0:8], xhi[8:16], xlo[8:16])
+        for b in range(2, s // 8):
+            sl = slice(8 * b, 8 * b + 8)
+            hi, lo = df_mul(hi, lo, xhi[sl], xlo[sl])
+        s = 8
+    else:
+        h = s // 2
+        hi, lo = pair_l1(xhi[:h], xlo[:h], xhi[h:], xlo[h:])
+        s = h
+    while s > 1:
+        s //= 2
+        hi, lo = df_mul(hi[:s], lo[:s], hi[s:], lo[s:])
+    return hi, lo

@@ -38,15 +38,9 @@ class RyserPlan:
 
 
 def pad_n(n: int) -> int:
-    """Smallest padded size >= n of shape 2^k or 5*2^k (tree-product-able),
-    and a multiple of 8 (f32 sublane tile)."""
-    best = 1 << math.ceil(math.log2(max(n, 8)))
-    c = 5
-    while c < n:
-        c *= 2
-    if c >= max(n, 8) and c % 8 == 0 and c < best:
-        best = c
-    return best
+    """Smallest multiple of 8 >= max(n, 8): the f32 sublane tile, and the
+    group size the aligned product trees fold first (ops/df64.py)."""
+    return max(8, -(-n // 8) * 8)
 
 
 def make_plan(n: int, lanes: int = 1024, chunk_log2=None, *,

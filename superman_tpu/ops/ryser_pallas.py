@@ -84,19 +84,7 @@ def _ryser_kernel(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
             return tree_prod_f32(xhi), None
         if exact_storage:
             return tree_prod_df64(xhi)
-        # full df64 product of (hi + lo) pairs: fold lo into the level-1
-        # TwoProd by one df correction
-        h = n_pad // 2
-        phi, plo = df64.two_prod(xhi[:h], xhi[h:])
-        plo = plo + (xhi[:h] * xlo[h:] + xlo[:h] * xhi[h:])
-        phi, plo = df64.quick_two_sum(phi, plo)
-        s = h
-        while s > 1 and s % 2 == 0:
-            s //= 2
-            phi, plo = df64.df_mul(phi[:s], plo[:s], phi[s:], plo[s:])
-        if s == 5:
-            phi, plo = df64._prod5(phi, plo)
-        return phi, plo
+        return df64.tree_prod_full_df(xhi, xlo)
 
     # m = 0 term: base index is even -> sign +1
     phi, plo = prod_term(xhi0, xlo0)
@@ -181,17 +169,7 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
             return tree_prod_f32(xhi), None
         if exact_storage:
             return tree_prod_df64(xhi)
-        h = n_pad // 2
-        phi, plo = df64.two_prod(xhi[:h], xhi[h:])
-        plo = plo + (xhi[:h] * xlo[h:] + xlo[:h] * xhi[h:])
-        phi, plo = df64.quick_two_sum(phi, plo)
-        s = h
-        while s > 1 and s % 2 == 0:
-            s //= 2
-            phi, plo = df64.df_mul(phi[:s], plo[:s], phi[s:], plo[s:])
-        if s == 5:
-            phi, plo = df64._prod5(phi, plo)
-        return phi, plo
+        return df64.tree_prod_full_df(xhi, xlo)
 
     def upd_static(xhi, xlo, k, pos):
         if full_df:

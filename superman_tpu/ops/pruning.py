@@ -24,8 +24,13 @@ from . import gray
 
 
 def live_chunks(dense: DenseMatrix, flags, plan: "gray.RyserPlan" = None,
-                max_chunks_log2: int = 21) -> np.ndarray:
-    """Return the live chunk-id list for the (ordered) matrix."""
+                max_chunks_log2: int = 21,
+                sample: int = 1) -> np.ndarray:
+    """Return the live chunk-id list for the (ordered) matrix.
+
+    sample > 1: evaluate liveness on a 1/sample strided subset of chunk
+    ids only — a cheap estimator of the live fraction used to decide
+    whether the full prune is worth computing at all."""
     a = np.asarray(dense.mat, dtype=np.float64)
     n = a.shape[0]
     if n < 19:
@@ -41,11 +46,11 @@ def live_chunks(dense: DenseMatrix, flags, plan: "gray.RyserPlan" = None,
         return np.arange(C, dtype=np.int64)
 
     # x(base) for the constant rows, all chunks at once (exact in f64)
-    ids = np.arange(C, dtype=np.uint64)
+    ids = np.arange(0, C, sample, dtype=np.uint64)
     gray_l = ids ^ (ids >> np.uint64(1))
     x0 = gray.x0_f64(a)[const_rows]
     cols = a[const_rows, : n - 1]              # (nc, n-1)
-    X = np.broadcast_to(x0, (C, len(const_rows))).copy()
+    X = np.broadcast_to(x0, (len(ids), len(const_rows))).copy()
     for b in range(r - 1, n - 1):
         if not cols[:, b].any():
             continue
@@ -56,4 +61,4 @@ def live_chunks(dense: DenseMatrix, flags, plan: "gray.RyserPlan" = None,
                 np.float64)
         X += bit[:, None] * cols[:, b]
     live = ~(X == 0).any(axis=1)
-    return np.nonzero(live)[0].astype(np.int64)
+    return (np.nonzero(live)[0] * sample).astype(np.int64)

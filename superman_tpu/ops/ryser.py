@@ -121,20 +121,23 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
         sparse=flags.sparse and flags.skip_pruning)
     if chunk_ids is None and flags.sparse and flags.skip_pruning:
         from .pruning import live_chunks
-        chunk_ids = live_chunks(dense, flags, plan=plan)
-        if chunk_ids is not None:
-            # adaptive fallback: short-chunk pruning only pays when it
-            # kills more work than the long-chunk plan's higher
-            # throughput (~1.6x, measured) gains back
-            live_frac = len(chunk_ids) / plan.num_chunks
-            if live_frac > 0.60:
-                plan = gray.make_plan(
-                    n, flags.lanes, flags.chunk_log2, df=df,
-                    num_shards=num_shards,
-                    min_blocks=32 if (flags.hybrid
-                                      or flags.checkpoint_path) else 1,
-                    sparse=False)
-                chunk_ids = None
+        # adaptive: short-chunk pruning only pays when it kills more work
+        # than the long-chunk plan's higher throughput (~1.6x measured)
+        # plus the pruning overhead gain back.  Estimate the live
+        # fraction on a 1/64 chunk sample first (cheap) and only run the
+        # full prune when it looks profitable.
+        est = live_chunks(dense, flags, plan=plan, sample=64)
+        live_frac = (len(est) * 64 / plan.num_chunks
+                     if est is not None else 1.0)
+        if est is not None and live_frac <= 0.45:
+            chunk_ids = live_chunks(dense, flags, plan=plan)
+        else:
+            plan = gray.make_plan(
+                n, flags.lanes, flags.chunk_log2, df=df,
+                num_shards=num_shards,
+                min_blocks=32 if (flags.hybrid
+                                  or flags.checkpoint_path) else 1,
+                sparse=False)
     if chunk_ids is None:
         chunk_ids = np.arange(plan.num_chunks, dtype=np.int64)
     live = len(chunk_ids)

@@ -160,6 +160,12 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
         if ids_blocks.size == 0:
             ids_blocks = np.full((num_shards, plan.lanes), -1, np.int32)
     interpret = jax.default_backend() != "tpu"
+    # launch-decision log (parity: the reference's occupancy log lines,
+    # "==SC== Grid dim is set to", revised_perman/gpu_exact_dense.cu:898)
+    from ..utils import trace
+    trace.log(f"plan: n={n} n_pad={plan.n_pad} r={plan.r} "
+              f"lanes={plan.lanes} chunks={live}/{plan.num_chunks} "
+              f"calc={calc} shards={num_shards}", level=2)
 
     scales = _row_scales(a)
     hybrid_stats = None

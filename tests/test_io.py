@@ -102,3 +102,27 @@ def test_storage_quad_reads_longdouble(tmp_path):
     r = sp.permanent(str(p), storage_quad_precision=True,
                      calculation_quad_precision=True)
     assert r.permanent == pytest.approx(2.0, rel=1e-12)
+
+
+def test_nonsquare_rejected(tmp_path):
+    p = tmp_path / "ns.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real general\n"
+                 "2 3 2\n1 1 1.0\n2 3 1.0\n")
+    from superman_tpu.io.matrixmarket import read_any
+    with pytest.raises(ValueError, match="not square"):
+        read_any(str(p))
+
+
+def test_complex_rejected(tmp_path):
+    p = tmp_path / "cx.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate complex general\n"
+                 "2 2 1\n1 1 1.0 2.0\n")
+    from superman_tpu.io.matrixmarket import read_any
+    with pytest.raises(ValueError, match="complex"):
+        read_any(str(p))
+
+
+def test_unknown_flag_rejected():
+    import superman_tpu as sp
+    with pytest.raises(TypeError, match="unknown flags"):
+        sp.permanent(np.eye(3), not_a_flag=1)

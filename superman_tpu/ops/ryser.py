@@ -93,15 +93,17 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
     if calc == "f64" or n < 19:
         from .ryser_xla import ryser_xla
         import jax.numpy as jnp
-        dt = jnp.float64 if calc in ("f64", "df64") else jnp.float32
+        dt = (jnp.float64 if calc in ("f64", "df64", "f32k")
+              else jnp.float32)
         p = ryser_xla(a, dtype=dt)
         return Result(float(p), time.perf_counter() - t0,
                       algo_name=f"ryser_xla_{calc}",
                       iterations=1 << (n - 1),
                       meta={"calc": calc})
 
-    # ---- Pallas path (calc f32 / df64) ----
+    # ---- Pallas path (calc f32 / f32k / df64) ----
     df = calc == "df64"
+    kahan = calc == "f32k"
     exact_storage = _exact_storage(dense)
 
     # trivial zero: an empty row or column makes the permanent 0 and also
@@ -181,7 +183,7 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
             total, hybrid_stats = compute_partials_hybrid(
                 a_s, ids_blocks, x0_pair, cols_pair, cth, ctl, plan,
                 df=df, exact_storage=exact_storage, mesh=mesh,
-                interpret=interpret, threads=flags.threads,
+                kahan=kahan, interpret=interpret, threads=flags.threads,
                 cpu_helper=flags.cpu,
                 checkpoint_path=flags.checkpoint_path)
             total += extra_sum
@@ -202,7 +204,7 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
                     partials = compute_partials(
                         blk, x0_pair, cols_pair, cth, ctl, plan,
                         df=df, exact_storage=exact_storage, mesh=mesh,
-                        interpret=interpret)
+                        kahan=kahan, interpret=interpret)
                     total += float(partials.sum(dtype=np.float64))
                     off += sz
         if nprocs > 1:

@@ -67,7 +67,8 @@ def _ctz(m):
 
 
 def _ryser_kernel(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
-                  colstlo_ref, out_ref, *, df: bool, exact_storage: bool):
+                  colstlo_ref, out_ref, *, df: bool, exact_storage: bool,
+                  kahan: bool = False):
     r = r_ref[0]
     n_pad, L = xhi_ref.shape
     nb_pad = colsthi_ref.shape[1]
@@ -112,6 +113,9 @@ def _ryser_kernel(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
         if df:
             acc_hi, acc_lo = df64.df_add(acc_hi, acc_lo,
                                          phi * sign_m, plo * sign_m)
+        elif kahan:
+            acc_hi, e = df64.two_sum(acc_hi, phi * sign_m)
+            acc_lo = acc_lo + e
         else:
             acc_hi = acc_hi + phi * sign_m
         return xhi, xlo, acc_hi, acc_lo
@@ -142,7 +146,7 @@ _U16_STATIC = [
 
 def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
                       colstlo_ref, out_ref, *, df: bool,
-                      exact_storage: bool):
+                      exact_storage: bool, kahan: bool = False):
     """r (the log2 chunk length, >= 5 so the mid step lands on a j=16
     boundary) is a RUNTIME scalar: the axon remote Mosaic compiler cannot
     persist executables across processes, so one compiled kernel must
@@ -188,6 +192,9 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
             return df64.df_add(acc_hi, acc_lo,
                                phi if pos else -phi,
                                plo if pos else -plo)
+        if kahan:
+            hi, e = df64.two_sum(acc_hi, phi if pos else -phi)
+            return hi, acc_lo + e
         return acc_hi + (phi if pos else -phi), acc_lo
 
     def static_steps(carry, b_parity_pos):
@@ -250,13 +257,15 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("use_u16", "df", "exact_storage", "interpret"))
+    static_argnames=("use_u16", "df", "exact_storage", "kahan",
+                     "interpret"))
 def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, *,
                   use_u16: bool, df: bool, exact_storage: bool,
-                  interpret: bool):
+                  kahan: bool, interpret: bool):
     B, n_pad, L = xhi.shape
     kern_fn = _ryser_kernel_u16 if use_u16 else _ryser_kernel
-    kern = functools.partial(kern_fn, df=df, exact_storage=exact_storage)
+    kern = functools.partial(kern_fn, df=df, exact_storage=exact_storage,
+                             kahan=kahan)
     flops_per = 2 * n_pad * (10 if df else 1)
     # One pallas program per block, sequenced with lax.map rather than a
     # pallas grid (the axon remote Mosaic compiler rejects gridded kernels;
@@ -283,7 +292,8 @@ def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, *,
 
 
 def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
-                   exact_storage: bool, interpret: bool = False):
+                   exact_storage: bool, kahan: bool = False,
+                   interpret: bool = False):
     """Run the kernel over a block of chunks.
 
     xhi/xlo: (B, n_pad, L) initialized lane x-vectors (hi/lo pair)
@@ -304,4 +314,5 @@ def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
     r_arr = jnp.asarray([r], dtype=jnp.int32)
     return _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo,
                          use_u16=use_u16, df=df,
-                         exact_storage=exact_storage, interpret=interpret)
+                         exact_storage=exact_storage, kahan=kahan,
+                         interpret=interpret)

@@ -107,7 +107,8 @@ class _Journal:
 def compute_partials_hybrid(
         a_s: np.ndarray, ids_blocks: np.ndarray, x0_pair, cols_pair,
         colst_hi, colst_lo, plan: "gray.RyserPlan", *,
-        df: bool, exact_storage: bool, mesh=None, interpret: bool = False,
+        df: bool, exact_storage: bool, mesh=None, kahan: bool = False,
+        interpret: bool = False,
         threads: int = 16, cpu_helper: bool = True,
         checkpoint_path: Optional[str] = None,
         unit_blocks: Optional[int] = None):
@@ -157,7 +158,7 @@ def compute_partials_hybrid(
                 [blk, np.full((pad, blk.shape[1]), -1, np.int32)])
         out = compute_partials(blk, x0_pair, cols_pair, colst_hi, colst_lo,
                                plan, df=df, exact_storage=exact_storage,
-                               mesh=mesh, interpret=interpret)
+                               mesh=mesh, kahan=kahan, interpret=interpret)
         return float(out.sum(dtype=np.float64))
 
     def run_cpu_unit(sl: slice) -> float:

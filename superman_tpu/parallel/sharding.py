@@ -43,7 +43,8 @@ def pad_ids(ids: np.ndarray, lanes: int, num_shards: int):
 
 @functools.lru_cache(maxsize=None)
 def _sharded_fn(mesh: Mesh, n: int, n_pad: int, df: bool,
-                exact_storage: bool, use_u16: bool, interpret: bool):
+                exact_storage: bool, use_u16: bool, kahan: bool,
+                interpret: bool):
     """jitted shard_map executable, cached per (mesh, statics) so repeated
     calls (and different r values) reuse one compile."""
     init_df = df and not exact_storage
@@ -54,7 +55,7 @@ def _sharded_fn(mesh: Mesh, n: int, n_pad: int, df: bool,
                                          df=init_df)
         return _partials_jit(r_arr, xhi, xlo, smid, cth, ctl,
                              use_u16=use_u16, df=df,
-                             exact_storage=exact_storage,
+                             exact_storage=exact_storage, kahan=kahan,
                              interpret=interpret)
 
     f = shard_map(
@@ -68,7 +69,7 @@ def _sharded_fn(mesh: Mesh, n: int, n_pad: int, df: bool,
 def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
                      colst_hi, colst_lo, plan: gray.RyserPlan, *,
                      df: bool, exact_storage: bool,
-                     mesh: Optional[Mesh] = None,
+                     mesh: Optional[Mesh] = None, kahan: bool = False,
                      interpret: bool = False) -> np.ndarray:
     """Run init + kernel over (B, L) chunk ids, optionally sharded.
 
@@ -86,11 +87,11 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
         xhi, xlo, smid = gray.chunk_init(args[0], args[1], args[2],
                                          n=n, n_pad=n_pad, r=r, df=init_df)
         out = ryser_partials(xhi, xlo, smid, args[3], args[4], r=r, df=df,
-                             exact_storage=exact_storage,
+                             exact_storage=exact_storage, kahan=kahan,
                              interpret=interpret)
     else:
         fn = _sharded_fn(mesh, n, n_pad, df, exact_storage, use_u16,
-                         interpret)
+                         kahan, interpret)
         out = fn(jnp.asarray([r], dtype=jnp.int32), *args)
     out = np.asarray(out, dtype=np.float64)      # (B, 8, L)
     return out[:, 0, :] + out[:, 1, :]           # hi + lo, exact in f64

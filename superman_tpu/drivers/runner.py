@@ -9,7 +9,6 @@ to the estimator engine (ops/approx.py).
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..core.flags import Flags
 from ..core.matrix import DenseMatrix

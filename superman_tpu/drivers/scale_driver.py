@@ -8,7 +8,6 @@ prod(r_v) * prod(c_v).
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..core.matrix import DenseMatrix
 from ..core.result import Result

@@ -9,7 +9,6 @@ mesh, instead of five memory-placement variants.
 from __future__ import annotations
 
 import time
-import warnings
 from typing import Optional
 
 import jax

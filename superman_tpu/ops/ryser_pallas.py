@@ -36,7 +36,6 @@ lengthens the per-step dependency chain, which is the actual limiter
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

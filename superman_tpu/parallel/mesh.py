@@ -10,7 +10,7 @@ mesh (collectives ride ICI within a slice, DCN across).
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

@@ -21,8 +21,6 @@ Each line of the report: {"file", "config", "permanent", "time",
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import itertools
 import json
 import sys
 

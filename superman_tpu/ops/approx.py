@@ -43,11 +43,19 @@ _NEG_INF = jnp.float32(-1e30)
 
 def _uniform_choice(key, weights):
     """Sample an index with probability proportional to weights (>=0)."""
+    n = weights.shape[0]
     total = jnp.sum(weights)
     u = jax.random.uniform(key, (), dtype=jnp.float32) * total
     cum = jnp.cumsum(weights)
     idx = jnp.argmax(cum > u)
-    return idx, weights[idx] / jnp.where(total > 0, total, 1.0), total
+    w_idx = jnp.sum(weights * (jnp.arange(n) == idx))   # gather-free pick
+    return idx, w_idx / jnp.where(total > 0, total, 1.0), total
+
+
+def _onehot(i, n):
+    """TPU-friendly one-hot: dynamic gathers/scatters serialize on TPU, so
+    every row/column selection below is a one-hot mask + matvec (MXU)."""
+    return (jnp.arange(n) == i).astype(jnp.float32)
 
 
 def _rasmussen_trial(key, nz, n):
@@ -61,16 +69,18 @@ def _rasmussen_trial(key, nz, n):
         # min-nnz unextracted row (ties -> lowest index, like the reference)
         masked = jnp.where(rowm > 0, nnz, jnp.float32(1e9))
         row = jnp.argmin(masked)
-        rn = nnz[row]
+        oh_r = _onehot(row, n)
+        rn = jnp.sum(nnz * oh_r)
         dead = dead | (rn < 0.5)
         logp = logp + jnp.log2(jnp.maximum(rn, 1.0))
         # uniform choice among valid columns of `row`
-        valid = nz[row] * colm
+        valid = jnp.dot(oh_r, nz, preferred_element_type=jnp.float32) * colm
         u = jax.random.uniform(k1, (n,), dtype=jnp.float32)
         col = jnp.argmax(jnp.where(valid > 0, u, -1.0))
-        colm = colm.at[col].set(0.0)
-        rowm = rowm.at[row].set(0.0)
-        nnz = nnz - nz[:, col]
+        oh_c = _onehot(col, n)
+        colm = colm * (1.0 - oh_c)
+        rowm = rowm * (1.0 - oh_r)
+        nnz = nnz - jnp.dot(nz, oh_c, preferred_element_type=jnp.float32)
         return (key, colm, rowm, nnz, logp, dead), None
 
     init = (key, jnp.ones(n, jnp.float32), jnp.ones(n, jnp.float32),
@@ -114,18 +124,22 @@ def _scaling_trial(key, a, nz, n, scale_intervals, scale_times):
                                 lambda s: s, (dr, dc, dead))
 
         # sample column ~ d_r[row] * a[row, j] * d_c[j] over valid columns
-        w = dr[row] * a[row] * dc * colm
+        oh_r = _onehot(row, n)
+        arow = jnp.dot(oh_r, a, preferred_element_type=jnp.float32)
+        w = jnp.sum(dr * oh_r) * arow * dc * colm
         col, pj, total = _uniform_choice(k1, w)
         dead = dead | (total == 0)
+        oh_c = _onehot(col, n)
         # X *= a[row, col] / pj.  The reference divides by pj only
         # (algo.h:551 `Xa /= pj`), which estimates the 0/1-PATTERN
         # permanent when the matrix is weighted; including the a factor
         # makes the estimator unbiased for weights and is identical on
         # binary input.
-        logx = (logx + jnp.log2(jnp.maximum(a[row, col], 1e-37))
+        a_rc = jnp.sum(arow * oh_c)
+        logx = (logx + jnp.log2(jnp.maximum(a_rc, 1e-37))
                 - jnp.log2(jnp.maximum(pj, 1e-37)))
-        colm = colm.at[col].set(0.0)
-        rowm = rowm.at[row].set(0.0)
+        colm = colm * (1.0 - oh_c)
+        rowm = rowm * (1.0 - oh_r)
         return key, colm, rowm, dr, dc, logx, dead
 
     init = (key, jnp.ones(n, jnp.float32), jnp.ones(n, jnp.float32),

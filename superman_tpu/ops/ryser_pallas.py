@@ -128,29 +128,40 @@ def _ryser_kernel(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
     out_ref[:] = jnp.concatenate([acc_hi, acc_lo, pad], axis=0)
 
 
-# Unrolled inner blocks: within an aligned block of 16 steps m = 16b+j,
-# the flipped column k = ctz(m) and both signs are compile-time constants
-# for every j except j=8 (sign = parity of b, a scalar) and j=16 (column
-# k = 4 + ctz(b+1), the only dynamically-selected column).  The per-step
-# ctz chain, column select, and loop overhead of the scalar kernel all
-# collapse to once per 16 steps.  Static step table (j, k, x-sign):
-#   x-sign(j,k) = +1 iff bit_{k+1}(j) == 0; term sign = (-1)^j.
-_U16_STATIC = [
-    (1, 0, +1), (2, 1, +1), (3, 0, -1), (4, 2, +1),
-    (5, 0, +1), (6, 1, -1), (7, 0, -1), (8, 3, 0),   # 0 = dynamic sign
-    (9, 0, +1), (10, 1, +1), (11, 0, -1), (12, 2, -1),
-    (13, 0, +1), (14, 1, -1), (15, 0, -1),
-]
+# Unrolled inner blocks: within an aligned block of U = 2**u steps
+# m = U*b + j, the flipped column k = ctz(m) and both signs are
+# compile-time constants for every j except j = U/2 (sign = parity of b,
+# a scalar) and j = U (column k = u + ctz(b+1), the only dynamically
+# selected column).  The per-step ctz chain, column select, and loop
+# overhead of the scalar kernel all collapse to once per U steps.
+# Static table entries (j, k, x-sign); x-sign(j,k) = +1 iff
+# bit_{k+1}(j) == 0 (sign 0 marks the dynamic-parity step); the term
+# sign is (-1)^j.
+
+
+@functools.lru_cache(maxsize=None)
+def _static_table(u: int):
+    steps = []
+    for j in range(1, 1 << u):
+        k = (j & -j).bit_length() - 1
+        if k == u - 1:
+            steps.append((j, k, 0))          # sign = parity of b
+        else:
+            steps.append((j, k,
+                          +1 if ((j >> (k + 1)) & 1) == 0 else -1))
+    return tuple(steps)
 
 
 def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
                       colstlo_ref, out_ref, *, df: bool,
-                      exact_storage: bool, kahan: bool = False):
-    """r (the log2 chunk length, >= 5 so the mid step lands on a j=16
-    boundary) is a RUNTIME scalar: the axon remote Mosaic compiler cannot
-    persist executables across processes, so one compiled kernel must
-    serve every chunk size (the compile key is only
-    (n_pad, L, B, df, exact_storage))."""
+                      exact_storage: bool, kahan: bool = False,
+                      u: int = 4):
+    """Unrolled kernel; u = log2 of the unroll factor (requires the
+    runtime r >= u+1 so the mid step lands on a j = 2**u boundary).
+    r is a RUNTIME scalar: the axon remote Mosaic compiler cannot persist
+    executables across processes, so one compiled kernel must serve every
+    chunk size (the compile key is (n_pad, L, B, df, exact_storage,
+    kahan, u))."""
     r = r_ref[0]
     n_pad, L = xhi_ref.shape
     nb_pad = colsthi_ref.shape[1]
@@ -160,9 +171,9 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
     colst_lo = colstlo_ref[:] if full_df else None
     lane_k = lax.broadcasted_iota(jnp.int32, (n_pad, nb_pad), 1)
 
-    # static columns k = 0..3 as (n_pad, 1) slices
-    chi = [colst_hi[:, k:k + 1] for k in range(4)]
-    clo = [colst_lo[:, k:k + 1] if full_df else None for k in range(4)]
+    # static columns k = 0..u-1 as (n_pad, 1) slices
+    chi = [colst_hi[:, k:k + 1] for k in range(u)]
+    clo = [colst_lo[:, k:k + 1] if full_df else None for k in range(u)]
 
     xhi0 = xhi_ref[:]
     xlo0 = xlo_ref[:] if full_df else jnp.zeros_like(xhi0)
@@ -197,13 +208,13 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
         return acc_hi + (phi if pos else -phi), acc_lo
 
     def static_steps(carry, b_parity_pos):
-        """The 15 static steps of a block; b_parity_pos is the (possibly
-        traced) +/-1 sign of the j=8 update."""
+        """The 2**u - 1 static steps of a block; b_parity_pos is the
+        (possibly traced) +/-1 sign of the j = 2**(u-1) update."""
         xhi, xlo, acc_hi, acc_lo = carry
-        for j, k, sgn in _U16_STATIC:
-            if sgn == 0:     # j == 8: sign is the block parity
-                ck = chi[3] * b_parity_pos
-                cl = clo[3] * b_parity_pos if full_df else None
+        for j, k, sgn in _static_table(u):
+            if sgn == 0:     # j == 2**(u-1): sign is the block parity
+                ck = chi[u - 1] * b_parity_pos
+                cl = clo[u - 1] * b_parity_pos if full_df else None
                 xhi, xlo = upd_dyn(xhi, xlo, ck, cl, jnp.float32(1))
             else:
                 xhi, xlo = upd_static(xhi, xlo, k, sgn > 0)
@@ -217,16 +228,16 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
     acc_hi = phi
     acc_lo = plo if df else jnp.zeros_like(phi)
 
-    nb = _I32(1) << (r - _I32(4))            # 16-step blocks per chunk
+    nb = _I32(1) << (r - _I32(u))            # 2**u-step blocks per chunk
 
     def block(b, carry):
         s8 = jnp.where((b & _I32(1)) == _I32(0),
                        jnp.float32(1), jnp.float32(-1))
         xhi, xlo, acc_hi, acc_lo = static_steps(carry, s8)
-        # j = 16: column k = 4 + ctz(b+1), the only dynamic select
+        # j = 2**u: column k = u + ctz(b+1), the only dynamic select
         q = b + _I32(1)
         c = _ctz(q)
-        k16 = c + _I32(4)
+        k16 = c + _I32(u)
         s16 = jnp.where(((q >> (c + _I32(1))) & _I32(1)) == _I32(0),
                         jnp.float32(1), jnp.float32(-1))
         s_row = jnp.where(k16 == r - _I32(1), smid, s16)     # (1, L)
@@ -244,8 +255,8 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
 
     carry = lax.fori_loop(_I32(0), nb - _I32(1), block,
                           (xhi0, xlo0, acc_hi, acc_lo))
-    # final block: the 15 static steps only (m = 2**r belongs to the
-    # next chunk); its j=8 parity is the parity of nb-1
+    # final block: static steps only (m = 2**r belongs to the next
+    # chunk); its mid-step parity is the parity of nb-1
     s8_last = jnp.where(((nb - _I32(1)) & _I32(1)) == _I32(0),
                         jnp.float32(1), jnp.float32(-1))
     _, _, acc_hi, acc_lo = static_steps(carry, s8_last)
@@ -256,15 +267,19 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("use_u16", "df", "exact_storage", "kahan",
+    static_argnames=("use_u16", "df", "exact_storage", "kahan", "u",
                      "interpret"))
 def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, *,
                   use_u16: bool, df: bool, exact_storage: bool,
-                  kahan: bool, interpret: bool):
+                  kahan: bool, u: int, interpret: bool):
     B, n_pad, L = xhi.shape
-    kern_fn = _ryser_kernel_u16 if use_u16 else _ryser_kernel
-    kern = functools.partial(kern_fn, df=df, exact_storage=exact_storage,
-                             kahan=kahan)
+    if use_u16:
+        kern = functools.partial(_ryser_kernel_u16, df=df,
+                                 exact_storage=exact_storage,
+                                 kahan=kahan, u=u)
+    else:
+        kern = functools.partial(_ryser_kernel, df=df,
+                                 exact_storage=exact_storage, kahan=kahan)
     flops_per = 2 * n_pad * (10 if df else 1)
     # One pallas program per block, sequenced with lax.map rather than a
     # pallas grid (the axon remote Mosaic compiler rejects gridded kernels;
@@ -310,8 +325,13 @@ def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
     time explodes on the unrolled body.
     """
     use_u16 = bool(r >= 5 and not interpret)
+    # unroll factor: biggest 2**u with u <= r-1 (mid-step constraint).
+    # Measured on n=32: f32/f32k keep gaining up to 128-step blocks
+    # (19.6 -> 27.4 G iters/s); df64 is compute-bound and flat, so it
+    # keeps the small body (faster Mosaic compiles).
+    u = min(5 if df else 7, r - 1) if use_u16 else 4
     r_arr = jnp.asarray([r], dtype=jnp.int32)
     return _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo,
                          use_u16=use_u16, df=df,
-                         exact_storage=exact_storage, kahan=kahan,
+                         exact_storage=exact_storage, kahan=kahan, u=u,
                          interpret=interpret)

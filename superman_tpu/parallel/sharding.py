@@ -44,7 +44,7 @@ def pad_ids(ids: np.ndarray, lanes: int, num_shards: int):
 @functools.lru_cache(maxsize=None)
 def _sharded_fn(mesh: Mesh, n: int, n_pad: int, df: bool,
                 exact_storage: bool, use_u16: bool, kahan: bool,
-                interpret: bool):
+                u: int, interpret: bool):
     """jitted shard_map executable, cached per (mesh, statics) so repeated
     calls (and different r values) reuse one compile."""
     init_df = df and not exact_storage
@@ -56,7 +56,7 @@ def _sharded_fn(mesh: Mesh, n: int, n_pad: int, df: bool,
         return _partials_jit(r_arr, xhi, xlo, smid, cth, ctl,
                              use_u16=use_u16, df=df,
                              exact_storage=exact_storage, kahan=kahan,
-                             interpret=interpret)
+                             u=u, interpret=interpret)
 
     f = shard_map(
         local, mesh=mesh,
@@ -78,6 +78,7 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
     n, n_pad, r = plan.n, plan.n_pad, plan.r
     init_df = df and not exact_storage
     use_u16 = bool(r >= 5 and not interpret)
+    u = min(5 if df else 7, r - 1) if use_u16 else 4
 
     args = (jnp.asarray(ids_blocks), jnp.asarray(x0_pair),
             jnp.asarray(cols_pair), jnp.asarray(colst_hi),
@@ -91,7 +92,7 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
                              interpret=interpret)
     else:
         fn = _sharded_fn(mesh, n, n_pad, df, exact_storage, use_u16,
-                         kahan, interpret)
+                         kahan, u, interpret)
         out = fn(jnp.asarray([r], dtype=jnp.int32), *args)
     out = np.asarray(out, dtype=np.float64)      # (B, 8, L)
     return out[:, 0, :] + out[:, 1, :]           # hi + lo, exact in f64

@@ -48,6 +48,13 @@ def run_algo(dense: DenseMatrix, flags: Flags) -> Result:
         if flags.sparse else dense
     mesh = mesh_for_flags(flags)
 
+    if str(flags.perman_algo) == "glynn":
+        # independent second exact engine (cross-algorithm oracle)
+        from ..ops.glynn import glynn_exact
+        res = glynn_exact(dm if flags.sparse else dense, flags, mesh=mesh)
+        flags.algo_name = res.algo_name
+        return res
+
     # dead-chunk pruning (TPU SkipPer) happens inside ryser_exact, which
     # owns the chunk plan
     from ..ops.ryser import ryser_exact

@@ -1,0 +1,121 @@
+"""Glynn-formula exact permanent — an independent second exact engine.
+
+per(A) = 2^(1-n) * sum over delta in {+-1}^n with delta_n = +1 of
+         (prod_i delta_i) * prod_j (sum_i delta_i * a_ij).
+
+The reference has no Glynn implementation; it is added here because
+cross-ALGORITHM agreement is the primary correctness oracle (SURVEY.md
+§4.1) and Ryser/Nijenhuis-Wilf otherwise provides every TPU result.
+
+The Gray walk over delta maps EXACTLY onto the Ryser Pallas kernel
+(ops/ryser_pallas.py) with different packing:
+
+* state x_j = sum_i delta_i a_ij; initially (all delta = +1) the column
+  sums of A;
+* flipping delta_k toggles -2*a[k, :] in and out of x — so the kernel's
+  "column table" holds  G[:, k] = -2 * (row k of A)  for k < n-1;
+* the term sign (prod delta) = (-1)^popcount(gray(m)) = (-1)^m — the
+  parity the kernel already applies (XOR of Gray bits telescopes to m&1);
+* final factor 2^(1-n) replaces Ryser's (4*(n&1)-2).
+
+Column scaling by powers of two is exact and keeps every |x_j| ~ 1, as in
+the Ryser path.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..core.matrix import DenseMatrix
+from ..core.result import Result
+from . import gray
+from .df64 import split_f64
+from .ryser import colst_pack
+
+
+def _col_scales(a: np.ndarray) -> np.ndarray:
+    """Integer exponents s_j bounding |x_j| <= ~1 along the whole walk:
+    |x_j| <= sum_i |a_ij| always."""
+    ab = np.abs(np.asarray(a, dtype=np.float64))
+    xmax = ab.sum(axis=0)
+    s = np.ceil(np.log2(np.maximum(xmax, 2.0 ** -60)))
+    return np.clip(s, -60, 200).astype(np.int64)
+
+
+def _pack_glynn(a_s: np.ndarray, n_pad: int):
+    """x0 = column sums; walk table G[:, k] = -2 * row k (k < n-1)."""
+    n = a_s.shape[0]
+    x0 = np.ones(n_pad, dtype=np.float64)
+    x0[:n] = a_s.sum(axis=0)
+    g = np.zeros((n - 1, n_pad), dtype=np.float64)
+    g[:, :n] = -2.0 * a_s[: n - 1, :]
+    x0_pair = np.stack(split_f64(x0))
+    cols_pair = np.stack(split_f64(g))
+    return x0_pair, cols_pair
+
+
+def glynn_exact(dense: DenseMatrix, flags, mesh=None) -> Result:
+    a = np.asarray(dense.mat)
+    n = a.shape[0]
+    calc = flags.resolved_calc()
+    t0 = time.perf_counter()
+    if n <= 2 or calc in ("quad", "f64") or n < 19:
+        from .oracle import perman_glynn
+        p = perman_glynn(a)
+        return Result(float(p), time.perf_counter() - t0,
+                      algo_name="glynn_host", iterations=1 << max(n - 1, 0))
+
+    df = calc == "df64"
+    kahan = calc == "f32k"
+    exact_storage = False   # column sums exceed the per-entry exactness bound
+    from ..parallel.sharding import pad_ids, compute_partials
+    num_shards = (int(np.prod(mesh.devices.shape))
+                  if mesh is not None else 1)
+    plan = gray.make_plan(n, flags.lanes, flags.chunk_log2, df=df,
+                          num_shards=num_shards)
+    ids_blocks = pad_ids(
+        np.arange(plan.num_chunks, dtype=np.int32), plan.lanes, num_shards)
+    interpret = jax.default_backend() != "tpu"
+
+    scales = _col_scales(a)
+    for attempt in range(3):
+        a_s = a.astype(np.float64) * np.exp2(
+            -scales.astype(np.float64))[None, :]
+        x0_pair, cols_pair = _pack_glynn(a_s, plan.n_pad)
+        # the kernel's transposed column table: lane k = -2 * row k
+        g = np.zeros((n, n), dtype=np.float64)
+        g[:, : n - 1] = -2.0 * a_s[: n - 1, :].T
+        cth, ctl = colst_pack_from(g, plan.n_pad)
+        partials = compute_partials(
+            ids_blocks, x0_pair, cols_pair, cth, ctl, plan,
+            df=df, exact_storage=exact_storage, mesh=mesh, kahan=kahan,
+            interpret=interpret)
+        total = float(partials.sum(dtype=np.float64))
+        if total != 0.0 and abs(total) > 2.0 ** -40:
+            break
+        bump = 120 if total == 0.0 else int(-np.log2(abs(total)) // n + 1)
+        scales = scales - max(1, min(bump, int(110 / n)))
+    E = float(scales.sum())
+    p = total * (2.0 ** (E + 1 - n)) + 0.0
+    dt = time.perf_counter() - t0
+    iters = plan.num_chunks << plan.r
+    return Result(p, dt, algo_name=f"glynn_pallas_{calc}",
+                  iterations=iters,
+                  meta={"calc": calc, "scale_log2": E,
+                        "iters_per_sec": iters / dt})
+
+
+def colst_pack_from(g: np.ndarray, n_pad: int):
+    """colst tables from an explicit walk matrix g (n, n) whose column k
+    is the k-th flip vector (cf. ops/ryser.py colst_pack, which derives
+    them from the input matrix's columns)."""
+    n = g.shape[0]
+    nb_pad = -(-(n - 1) // 128) * 128
+    cols = np.zeros((n_pad, nb_pad), dtype=np.float64)
+    cols[:n, : n - 1] = g[:, : n - 1]
+    hi, lo = split_f64(cols)
+    return hi, lo

@@ -115,6 +115,51 @@ def perman_brute(a: np.ndarray):
     return res if is_int else float(res)
 
 
+def perman_glynn(a: np.ndarray, dtype=np.float64,
+                 max_lanes: int = 1 << 14) -> float:
+    """Exact permanent via the Glynn formula (host, lane-vectorized):
+
+        per(A) = 2^(1-n) sum_{delta, delta_n=+1} (prod delta_i)
+                 prod_j (sum_i delta_i a_ij)
+
+    The Gray walk over delta has the same index mechanics as Ryser: state
+    x_j = sum_i delta_i a_ij starts at the column sums and flipping
+    delta_k adds -2 a[k, :]; the term sign (prod delta) telescopes to
+    (-1)^m.  Independent of perman64 in formula and coefficients — used
+    for cross-algorithm agreement."""
+    a = np.asarray(a, dtype=dtype)
+    n = a.shape[0]
+    if n == 0:
+        return 1.0
+    if n == 1:
+        return float(a[0, 0])
+    total = 1 << (n - 1)
+    L = min(total >> 1, max_lanes) or 1
+    r = int(math.log2(total // L))
+    l = np.arange(L, dtype=np.uint64)
+    gray_l = l ^ (l >> np.uint64(1))
+    bits = np.zeros((L, n - 1), dtype=dtype)
+    for b in range(n - 1):
+        if b >= r:
+            bits[:, b] = ((gray_l >> np.uint64(b - r)) & np.uint64(1))
+        elif b == r - 1:
+            bits[:, b] = (l & np.uint64(1))
+    flips = -2.0 * a[: n - 1, :]               # flip vector for bit k
+    X = a.sum(axis=0)[None, :] + bits @ flips
+    sign_mid = 1.0 - 2.0 * (l & np.uint64(1)).astype(dtype)
+
+    acc = X.prod(axis=1).sum(dtype=dtype)      # m = 0 terms (sign +1)
+    for m in range(1, 1 << r):
+        k = _ctz(m)
+        if k == r - 1:
+            s = sign_mid[:, None]
+        else:
+            s = 1.0 - 2.0 * ((m >> (k + 1)) & 1)
+        X += s * flips[None, k, :]
+        acc += (1.0 - 2.0 * (m & 1)) * X.prod(axis=1).sum(dtype=dtype)
+    return float(acc * 2.0 ** (1 - n))
+
+
 def perman_from_parts(hi, lo=0.0) -> float:
     """Recombine a double-float (hi, lo) partial-sum pair in float64."""
     return float(np.float64(hi) + np.float64(lo))

@@ -35,6 +35,7 @@ SWEEP = [
     ("exact_sparse_skip", dict(sparse=True, preprocessing=2,
                                calc="df64"), 1e-9),
     ("exact_compressed", dict(compression=True, calc="df64"), 1e-9),
+    ("exact_glynn", dict(perman_algo="glynn", calc="df64"), 1e-8),
     ("exact_scaled_u2", dict(scaling_threshold=2.0, calc="df64"), 1e-7),
     ("approx_rasmussen", dict(approximation=True,
                               perman_algo="rasmussen",

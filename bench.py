@@ -46,6 +46,8 @@ def main():
 
     sp.permanent(dm, calc="f32")
     f32 = best_of(lambda: sp.permanent(dm, calc="f32"))
+    sp.permanent(dm, calc="f32k")
+    f32k = best_of(lambda: sp.permanent(dm, calc="f32k"))
 
     # sparse floor: the only measured reference numbers are CPU SkipPer
     # 0.563-1.30 s on n=32 d=0.20 (BASELINE.md)
@@ -68,6 +70,10 @@ def main():
             "f32_g_iters_per_sec": round(f32.iterations / f32.time / 1e9,
                                          4),
             "f32_wall_s": round(f32.time, 4),
+            "f32k_g_iters_per_sec": round(
+                f32k.iterations / f32k.time / 1e9, 4),
+            "f32k_rel_err": float(
+                f"{abs(f32k.permanent - NATIVE_DOUBLE_VALUE) / NATIVE_DOUBLE_VALUE:.2e}"),
             "sparse_n32_d020_wall_s": round(sparse.time, 4),
             "sparse_ref_cpu_skipper_s": [0.563, 1.30],
         },

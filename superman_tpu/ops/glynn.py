@@ -71,7 +71,14 @@ def glynn_exact(dense: DenseMatrix, flags, mesh=None) -> Result:
 
     df = calc == "df64"
     kahan = calc == "f32k"
-    exact_storage = False   # column sums exceed the per-entry exactness bound
+    # Glynn's x_j = sum_i delta_i a_ij * 2^-s_j: all terms in x_j share
+    # the column scale, so the walk is exact in f32 iff the column
+    # abs-sums fit in 24-bit mantissas (mirror of ryser._exact_storage's
+    # row test)
+    exact_storage = bool(
+        dense.type == "int"
+        and np.max(np.abs(a.astype(np.float64)).sum(axis=0),
+                   initial=0.0) < 2 ** 22)
     from ..parallel.sharding import pad_ids, compute_partials
     num_shards = (int(np.prod(mesh.devices.shape))
                   if mesh is not None else 1)

@@ -74,6 +74,9 @@ def permanent(matrix: Union[np.ndarray, DenseMatrix, str, None] = None,
         with trace.timer(f"permanent[{flags.algo_name or flags.perman_algo}]",
                          level=2):
             res = run(dm, flags)
+    spans = trace.drain_spans()
+    if spans:
+        res.meta.setdefault("spans", spans)
     return res
 
 

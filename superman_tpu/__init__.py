@@ -43,12 +43,12 @@ from .core.result import Result
 from .core.matrix import DenseMatrix, SparseMatrix, matrix2compressed
 from .io.triplet import read_triplet, write_triplet
 from .io.matrixmarket import read_matrix_market, read_any
-from .api import permanent, grid_permanent
+from .api import permanent, permanent_batch, grid_permanent
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Flags", "Result", "DenseMatrix", "SparseMatrix", "matrix2compressed",
     "read_triplet", "write_triplet", "read_matrix_market", "read_any",
-    "permanent",
+    "permanent", "permanent_batch",
 ]

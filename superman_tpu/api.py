@@ -80,6 +80,13 @@ def permanent(matrix: Union[np.ndarray, DenseMatrix, str, None] = None,
     return res
 
 
+def permanent_batch(mats, **overrides):
+    """Exact permanents of many matrices; same-order small matrices are
+    vmapped into one device program (see ops/batch.py)."""
+    from .ops.batch import permanent_batch as _pb
+    return _pb(mats, **overrides)
+
+
 def grid_permanent(m: int, n: int, **overrides) -> Result:
     """Number of perfect matchings of an m x n grid graph (reference -i)."""
     overrides.setdefault("grid_graph", True)

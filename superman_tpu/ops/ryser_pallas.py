@@ -329,7 +329,10 @@ def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
     # Measured on n=32: f32/f32k keep gaining up to 128-step blocks
     # (19.6 -> 27.4 G iters/s); df64 is compute-bound and flat, so it
     # keeps the small body (faster Mosaic compiles).
-    u = min(5 if df else 7, r - 1) if use_u16 else 4
+    full_df = df and not exact_storage
+    # full-df bodies are the largest (pair-product trees); cap their
+    # unroll to keep Mosaic compile time reasonable
+    u = min(4 if full_df else (5 if df else 7), r - 1) if use_u16 else 4
     r_arr = jnp.asarray([r], dtype=jnp.int32)
     return _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo,
                          use_u16=use_u16, df=df,

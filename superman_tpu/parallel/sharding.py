@@ -78,7 +78,10 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
     n, n_pad, r = plan.n, plan.n_pad, plan.r
     init_df = df and not exact_storage
     use_u16 = bool(r >= 5 and not interpret)
-    u = min(5 if df else 7, r - 1) if use_u16 else 4
+    full_df = df and not exact_storage
+    # full-df bodies are the largest (pair-product trees); cap their
+    # unroll to keep Mosaic compile time reasonable
+    u = min(4 if full_df else (5 if df else 7), r - 1) if use_u16 else 4
 
     args = (jnp.asarray(ids_blocks), jnp.asarray(x0_pair),
             jnp.asarray(cols_pair), jnp.asarray(colst_hi),

@@ -52,3 +52,12 @@ def test_integer_exactness_df64(rng):
     want = perman_brute(a)  # python ints, bit-exact
     got = sp.permanent(a, calc="df64", chunk_log2=5, lanes=512)
     assert round(got.permanent) == want
+
+
+def test_permanent_batch(rng):
+    import superman_tpu as sp
+    mats = [random_int_matrix(rng, n, 0.6, vmax=2) for n in (8, 8, 12, 10)]
+    out = sp.permanent_batch(mats)
+    for m, r in zip(mats, out):
+        assert r.permanent == pytest.approx(perman_brute(m), rel=1e-10)
+    assert out[0].algo_name == "ryser_xla_batch"

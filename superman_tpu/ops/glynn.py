@@ -106,8 +106,9 @@ def glynn_exact(dense: DenseMatrix, flags, mesh=None) -> Result:
             break
         bump = 120 if total == 0.0 else int(-np.log2(abs(total)) // n + 1)
         scales = scales - max(1, min(bump, int(110 / n)))
-    E = float(scales.sum())
-    p = total * (2.0 ** (E + 1 - n)) + 0.0
+    E = int(scales.sum())
+    with np.errstate(over="ignore"):
+        p = float(np.ldexp(np.float64(total), E + 1 - n)) + 0.0
     dt = time.perf_counter() - t0
     iters = plan.num_chunks << plan.r
     return Result(p, dt, algo_name=f"glynn_pallas_{calc}",

@@ -221,8 +221,13 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
         # total head-room across the n-factor product)
         per_row = max(1, min(bump, int(110 / n)))
         scales = scales - per_row
-    E = float(scales.sum())
-    p = (4 * (n & 1) - 2) * total * (2.0 ** E) + 0.0   # +0.0 drops -0.0
+    E = int(scales.sum())
+    # ldexp multiplies by 2**E exactly, handling E beyond the exponent
+    # range of a standalone 2.0**E (which would overflow to inf even when
+    # total * 2**E is finite); out-of-range RESULTS become the honest
+    # double inf/0 rather than raising (found by fuzzing)
+    with np.errstate(over="ignore"):
+        p = float((4 * (n & 1) - 2) * np.ldexp(np.float64(total), E)) + 0.0
     dt = time.perf_counter() - t0
     iters = live << plan.r
     meta = {"calc": calc, "chunks": live, "r": plan.r,

@@ -60,5 +60,14 @@ def scale_matrix(dense: DenseMatrix, sc: ScaleCompanion) -> DenseMatrix:
 
 
 def unscale_permanent(permanent: float, sc: ScaleCompanion) -> float:
-    """per(A) = per(diag(r) A diag(c)) / (prod r * prod c)."""
-    return permanent / float(np.prod(sc.r_v) * np.prod(sc.c_v))
+    """per(A) = per(diag(r) A diag(c)) / (prod r * prod c).
+
+    Computed in log2 space: the direct product of 2n scale factors
+    under/overflows double for large-magnitude matrices (found by
+    fuzzing), zeroing the divisor.  The exponent is applied exactly with
+    ldexp; only the fractional factor (in [1, 2)) is divided normally."""
+    lp = float(sc.log2_product())
+    e = int(np.floor(lp))
+    frac = np.exp2(np.float64(lp - e))          # in [1, 2)
+    with np.errstate(over="ignore"):
+        return float(np.ldexp(np.float64(permanent) / frac, -e))

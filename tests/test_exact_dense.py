@@ -61,3 +61,24 @@ def test_permanent_batch(rng):
     for m, r in zip(mats, out):
         assert r.permanent == pytest.approx(perman_brute(m), rel=1e-10)
     assert out[0].algo_name == "ryser_xla_batch"
+
+
+def test_extreme_magnitudes(rng):
+    """Found by fuzzing: 2.0**E / scale-product paths must survive
+    matrices whose entries push the result near (or past) double range;
+    out-of-range results become the honest double inf, never an
+    exception."""
+    n = 20
+    a = ((rng.random((n, n)) < 0.5) * rng.random((n, n)) * 1e12)
+    np.fill_diagonal(a, 1e12)
+    want = float(perman64(a * 1e-12))
+    got = sp.permanent(a, calc="df64")
+    # per(c*A) = c^n per(A); compare in log space to stay in range
+    got_log = np.log2(abs(got.permanent)) if np.isfinite(got.permanent) \
+        else np.inf
+    want_log = np.log2(abs(want)) + n * np.log2(1e12)
+    if want_log < 1023:
+        assert got_log == pytest.approx(want_log, abs=1e-6)
+    # scaled + compressed drivers on the same magnitudes must not raise
+    r2 = sp.permanent(a, calc="df64", scaling_threshold=2.0)
+    assert np.isfinite(r2.permanent) or np.isinf(r2.permanent)

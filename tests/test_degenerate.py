@@ -1,0 +1,49 @@
+"""Degenerate and adversarial inputs across every engine (fuzz-derived)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import superman_tpu as sp
+
+
+def test_trivial_orders():
+    assert sp.permanent(np.array([[3]])).permanent == 3.0
+    assert sp.permanent(np.array([[0]])).permanent == 0.0
+    assert sp.permanent(np.array([[1, 2], [3, 4]])).permanent == 10.0
+
+
+@pytest.mark.parametrize("kw", [
+    {}, {"compression": True}, {"scaling_threshold": 2.0},
+    {"approximation": True, "perman_algo": "rasmussen",
+     "number_of_times": 1000},
+])
+def test_zero_row_all_paths(kw):
+    a = np.vstack([np.zeros((1, 12)), np.ones((11, 12))]).astype(np.int64)
+    assert sp.permanent(a, **kw).permanent == 0.0
+
+
+def test_identity_large():
+    assert sp.permanent(np.eye(25, dtype=np.int64)).permanent == 1.0
+    assert sp.permanent(np.eye(22, dtype=np.int64),
+                        perman_algo="glynn").permanent == 1.0
+
+
+def test_all_ones_extreme_cancellation():
+    """per(J_20) = 20!; the Gray sum cancels by ~2^20, the df64 worst
+    case — expect ~1e-7, far better than f64-per-term but not 1e-10."""
+    got = sp.permanent(np.ones((20, 20), dtype=np.int64)).permanent
+    assert got == pytest.approx(float(math.factorial(20)), rel=1e-6)
+
+
+def test_pm1_cancellation_exact(rng):
+    """Random +-1 matrices: 10 orders of cancellation, integer result —
+    df64 recovers it exactly (observed abs err 0 in fuzzing)."""
+    a = rng.choice([-1, 1], (20, 20)).astype(np.int64)
+    from superman_tpu.bindings.native import native_available
+    if not native_available():
+        pytest.skip("no native oracle")
+    want = sp.permanent(a, cpu=True, gpu=False, calc="f64").permanent
+    got = sp.permanent(a, calc="df64", chunk_log2=6, lanes=256).permanent
+    assert got == pytest.approx(want, abs=max(1e-6 * abs(want), 1e-3))

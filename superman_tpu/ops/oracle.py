@@ -160,6 +160,3 @@ def perman_glynn(a: np.ndarray, dtype=np.float64,
     return float(acc * 2.0 ** (1 - n))
 
 
-def perman_from_parts(hi, lo=0.0) -> float:
-    """Recombine a double-float (hi, lo) partial-sum pair in float64."""
-    return float(np.float64(hi) + np.float64(lo))

@@ -29,13 +29,6 @@ def _exact_storage(dense: DenseMatrix) -> bool:
     return bool(np.max(np.abs(a).sum(axis=1), initial=0.0) < 2 ** 22)
 
 
-def _overflow_risk(a: np.ndarray) -> float:
-    """log2 of a bound on |prod_j x_j| along the walk."""
-    a = np.abs(np.asarray(a, dtype=np.float64))
-    xmax = a[:, -1] + a.sum(axis=1) / 2 + 1e-300
-    return float(np.sum(np.log2(xmax)))
-
-
 def _row_scales(a: np.ndarray) -> np.ndarray:
     """Integer exponents s_j so that scaling row j by 2**-s_j bounds every
     |x_j| by ~1 along the whole walk (|x_j| <= |a[j,n-1]| + abs-rowsum/2).

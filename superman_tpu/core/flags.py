@@ -70,6 +70,10 @@ class Flags:
     mesh_shape: Optional[Tuple[int, ...]] = None
     #: chunk-level dead-range pruning for sparse matrices (TPU SkipPer)
     skip_pruning: bool = True
+    #: Dulmage-Mendelsohn zero-structure pruning before orderings
+    #: (sparyser CLI `dm` toggle): zero entries outside every perfect
+    #: matching; detects per(A) = 0 structurally
+    dm_prune: bool = False
     #: dynamic chunked TPU+CPU scheduling (reference multigpucpu_chunks,
     #: algo ids 6/17); the CPU helper joins when `cpu` is also set
     hybrid: bool = False

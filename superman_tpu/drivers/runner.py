@@ -9,6 +9,7 @@ to the estimator engine (ops/approx.py).
 
 from __future__ import annotations
 
+import numpy as np
 
 from ..core.flags import Flags
 from ..core.matrix import DenseMatrix
@@ -44,6 +45,12 @@ def run_algo(dense: DenseMatrix, flags: Flags) -> Result:
     # exact accelerator path
     from ..prep.orderings import apply_preprocessing
     from ..parallel.mesh import mesh_for_flags
+    if flags.dm_prune:
+        from ..prep.dulmage_mendelsohn import dm_prune
+        pruned = dm_prune(np.asarray(dense.mat))
+        if pruned is None:
+            return Result(0.0, 0.0, algo_name="dm_structural_zero")
+        dense = DenseMatrix(pruned, dense.type)
     dm = apply_preprocessing(dense, flags.preprocessing) \
         if flags.sparse else dense
     mesh = mesh_for_flags(flags)

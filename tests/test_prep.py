@@ -111,3 +111,17 @@ def test_skip_order_is_permutation(rng):
     rp, cp = skip_order(a)
     assert sorted(rp) == list(range(15))
     assert sorted(cp) == list(range(15))
+
+
+def test_dm_prune_flag_end_to_end(rng):
+    import superman_tpu as sp
+    a = random_int_matrix(rng, 12, 0.35)
+    np.fill_diagonal(a, 1)
+    want = sp.permanent(a).permanent
+    got = sp.permanent(a, sparse=True, dm_prune=True)
+    assert got.permanent == pytest.approx(want, rel=1e-10)
+    # structurally singular: a row that can only match an already-taken col
+    b = np.zeros((6, 6), dtype=np.int64)
+    b[:, 0] = 1; b[0, :] = 1
+    assert sp.permanent(b, dm_prune=True).permanent == 0.0
+    assert sp.permanent(b, dm_prune=True).algo_name == "dm_structural_zero"

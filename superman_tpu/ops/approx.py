@@ -208,6 +208,7 @@ def approximate(dense: DenseMatrix, flags) -> Result:
         fn = _sharded_batch(mesh, algo, n, int(flags.scale_intervals),
                             int(flags.scale_times))
     total = 0.0
+    total_sq = 0.0
     zeros = 0
     done = 0
 
@@ -266,7 +267,9 @@ def approximate(dense: DenseMatrix, flags) -> Result:
                 scale_times=int(flags.scale_times))
         logs = np.asarray(logs, np.float64)[:b]
         dead = np.asarray(dead)[:b]
-        total += float(np.sum(np.where(dead, 0.0, np.exp2(logs))))
+        vals = np.where(dead, 0.0, np.exp2(logs))
+        total += float(vals.sum())
+        total_sq += float((vals * vals).sum())
         zeros += int(dead.sum())
         done += b
     if cpu_thread is not None:
@@ -276,6 +279,15 @@ def approximate(dense: DenseMatrix, flags) -> Result:
         done += cpu_state["trials"]
         zeros += cpu_state["zeros"]
     est = total / done
+    # standard error of the MC mean (the reference reports only the mean;
+    # X_i are iid, so stderr = sqrt(var/N)).  Hybrid CPU chunks report
+    # only their means, so stderr covers the accelerator trials.
+    n_acc = done - cpu_state["trials"]
+    stderr = None
+    if n_acc > 1:
+        mean_acc = (total - cpu_state["sum"]) / n_acc
+        var = max(total_sq / n_acc - mean_acc * mean_acc, 0.0)
+        stderr = float(np.sqrt(var / n_acc))
     name = f"approx_{algo}" + ("_hybrid" if cpu_thread is not None else "")
     return Result(est, _time.perf_counter() - t0,
                   algo_name=name, zeros=zeros,
@@ -283,4 +295,5 @@ def approximate(dense: DenseMatrix, flags) -> Result:
                   meta={"trials": done, "scale_intervals":
                         flags.scale_intervals, "scale_times":
                         flags.scale_times,
+                        "stderr": stderr,
                         "cpu_trials": cpu_state["trials"]})

@@ -96,3 +96,15 @@ def test_hybrid_approx_with_cpu(rng):
     assert r.iterations >= 30000
     assert r.permanent == pytest.approx(want, rel=0.2)
     assert r.algo_name.endswith("_hybrid")
+
+
+def test_estimator_reports_stderr(rng):
+    a = (rng.random((10, 10)) < 0.6).astype(np.int64)
+    np.fill_diagonal(a, 1)
+    want = perman_brute(a)
+    r = sp.permanent(a, approximation=True, perman_algo="scaling",
+                     number_of_times=30000, seed=9)
+    se = r.meta["stderr"]
+    assert se is not None and se > 0
+    # the true value should lie within ~5 sigma of the estimate
+    assert abs(r.permanent - want) < 5 * se

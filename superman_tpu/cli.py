@@ -62,7 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Sinkhorn scaling threshold (-1 = off)")
     p.add_argument("-l", "--deviceid", type=int, default=0)
     p.add_argument("--calc", type=str, default=None,
-                   choices=("f32", "f32k", "df64", "f64", "quad"))
+                   choices=("f32", "f32k", "df64", "tf96", "f64", "quad"))
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint", type=str, default=None,
                    help="journal finished work units here and resume "

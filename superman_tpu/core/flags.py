@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 # calc dtypes (the reference's calculation precision knobs -h/-q map to
 # half/quad; on TPU the ladder is f32 < df64 < f64; "quad" maps to the
 # CPU-native long-double path in the native engine).
-CALC_DTYPES = ("f32", "f32k", "df64", "f64", "quad")
+CALC_DTYPES = ("f32", "f32k", "df64", "tf96", "f64", "quad")
 
 
 @dataclasses.dataclass

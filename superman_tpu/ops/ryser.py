@@ -93,10 +93,18 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
                       iterations=1 << (n - 1),
                       meta={"calc": calc})
 
-    # ---- Pallas path (calc f32 / f32k / df64) ----
+    # ---- Pallas path (calc f32 / f32k / df64 / tf96) ----
     df = calc == "df64"
     kahan = calc == "f32k"
+    tf = calc == "tf96"
     exact_storage = _exact_storage(dense)
+    if tf and (not exact_storage or flags.hybrid or flags.checkpoint_path):
+        # tf96 needs f32-exact x updates (int suites) and the long-double
+        # reduction path (the hybrid scheduler journals f64 unit sums)
+        import warnings
+        warnings.warn("tf96 requires exact-f32 storage and the non-hybrid "
+                      "path; falling back to df64")
+        tf, df, calc = False, True, "df64"
 
     # trivial zero: an empty row or column makes the permanent 0 and also
     # breaks the row-scaling heuristic, so dispose of it here
@@ -110,7 +118,8 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
     num_shards = (int(np.prod(mesh.devices.shape))
                   if mesh is not None else 1)
     plan = gray.make_plan(
-        n, flags.lanes, flags.chunk_log2, df=df, num_shards=num_shards,
+        n, flags.lanes, flags.chunk_log2, df=df or tf,
+        num_shards=num_shards,
         min_blocks=32 if (flags.hybrid or flags.checkpoint_path) else 1,
         sparse=flags.sparse and flags.skip_pruning)
     if chunk_ids is None and flags.sparse and flags.skip_pruning:
@@ -185,7 +194,7 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
             # REUSED across matrices (the post-pruning block count varies
             # per matrix; without this every sparse matrix would trigger a
             # fresh 30-90 s XLA compile)
-            total = extra_sum
+            total = np.longdouble(extra_sum) if tf else extra_sum
             q = ids_blocks.shape[0] // num_shards
             off = 0
             for bit in reversed(range(max(1, q).bit_length())):
@@ -196,8 +205,11 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
                     partials = compute_partials(
                         blk, x0_pair, cols_pair, cth, ctl, plan,
                         df=df, exact_storage=exact_storage, mesh=mesh,
-                        kahan=kahan, interpret=interpret)
-                    total += float(partials.sum(dtype=np.float64))
+                        kahan=kahan, tf=tf, interpret=interpret)
+                    if tf:
+                        total += partials.sum(dtype=np.longdouble)
+                    else:
+                        total += float(partials.sum(dtype=np.float64))
                     off += sz
         if nprocs > 1:
             # one f64 scalar over DCN; also keeps the underflow-retry
@@ -218,9 +230,15 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
     # ldexp multiplies by 2**E exactly, handling E beyond the exponent
     # range of a standalone 2.0**E (which would overflow to inf even when
     # total * 2**E is finite); out-of-range RESULTS become the honest
-    # double inf/0 rather than raising (found by fuzzing)
+    # double inf/0 rather than raising (found by fuzzing).  tf96 keeps
+    # the long-double precision until this final rounding.
     with np.errstate(over="ignore"):
-        p = float((4 * (n & 1) - 2) * np.ldexp(np.float64(total), E)) + 0.0
+        if tf:
+            p = float((4 * (n & 1) - 2)
+                      * np.ldexp(np.longdouble(total), E)) + 0.0
+        else:
+            p = float((4 * (n & 1) - 2)
+                      * np.ldexp(np.float64(total), E)) + 0.0
     dt = time.perf_counter() - t0
     iters = live << plan.r
     meta = {"calc": calc, "chunks": live, "r": plan.r,

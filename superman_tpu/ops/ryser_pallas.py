@@ -45,6 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import df64
+from . import tf96 as tfm
 from .df64 import tree_prod_f32, tree_prod_df64
 
 
@@ -67,7 +68,9 @@ def _ctz(m):
 
 def _ryser_kernel(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
                   colstlo_ref, out_ref, *, df: bool, exact_storage: bool,
-                  kahan: bool = False):
+                  kahan: bool = False, tf: bool = False):
+    """tf: triple-float (tf96) products + accumulation; requires
+    exact_storage (f32-exact x updates)."""
     r = r_ref[0]
     n_pad, L = xhi_ref.shape
     nb_pad = colsthi_ref.shape[1]
@@ -80,6 +83,8 @@ def _ryser_kernel(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
     xlo0 = xlo_ref[:] if df and not exact_storage else jnp.zeros_like(xhi0)
 
     def prod_term(xhi, xlo):
+        if tf:
+            return tfm.tree_prod_tf96(xhi)
         if not df:
             return tree_prod_f32(xhi), None
         if exact_storage:
@@ -87,12 +92,14 @@ def _ryser_kernel(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
         return df64.tree_prod_full_df(xhi, xlo)
 
     # m = 0 term: base index is even -> sign +1
-    phi, plo = prod_term(xhi0, xlo0)
-    acc_hi = phi
-    acc_lo = plo if df else jnp.zeros_like(phi)
+    if tf:
+        acc = prod_term(xhi0, xlo0)          # 3-word triple
+    else:
+        phi, plo = prod_term(xhi0, xlo0)
+        acc = (phi, plo if df else jnp.zeros_like(phi))
 
     def body(m, carry):
-        xhi, xlo, acc_hi, acc_lo = carry
+        xhi, xlo, *acc = carry
         k = _ctz(m)
         s_scalar = jnp.where(((m >> (k + _I32(1))) & _I32(1)) == _I32(0),
                              jnp.float32(1), jnp.float32(-1))
@@ -106,26 +113,33 @@ def _ryser_kernel(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
             xhi, xlo = df64.df_add(xhi, xlo, ck_hi * s_row, ck_lo * s_row)
         else:
             xhi = xhi + ck_hi * s_row
-        phi, plo = prod_term(xhi, xlo)
         sign_m = jnp.where((m & _I32(1)) == _I32(0),
                            jnp.float32(1), jnp.float32(-1))
-        if df:
-            acc_hi, acc_lo = df64.df_add(acc_hi, acc_lo,
-                                         phi * sign_m, plo * sign_m)
-        elif kahan:
-            acc_hi, e = df64.two_sum(acc_hi, phi * sign_m)
-            acc_lo = acc_lo + e
+        if tf:
+            t0, t1, t2 = prod_term(xhi, xlo)
+            acc = tfm.tf_add(*acc, t0 * sign_m, t1 * sign_m, t2 * sign_m)
         else:
-            acc_hi = acc_hi + phi * sign_m
-        return xhi, xlo, acc_hi, acc_lo
+            phi, plo = prod_term(xhi, xlo)
+            acc_hi, acc_lo = acc
+            if df:
+                acc_hi, acc_lo = df64.df_add(acc_hi, acc_lo,
+                                             phi * sign_m, plo * sign_m)
+            elif kahan:
+                acc_hi, e = df64.two_sum(acc_hi, phi * sign_m)
+                acc_lo = acc_lo + e
+            else:
+                acc_hi = acc_hi + phi * sign_m
+            acc = (acc_hi, acc_lo)
+        return (xhi, xlo, *acc)
 
     # int32 loop bounds: Mosaic has no int64, and x64 mode would otherwise
     # make the induction variable 64-bit
-    _, _, acc_hi, acc_lo = lax.fori_loop(
-        _I32(1), _I32(1) << r, body, (xhi0, xlo0, acc_hi, acc_lo))
+    out = lax.fori_loop(
+        _I32(1), _I32(1) << r, body, (xhi0, xlo0, *acc))
+    acc = out[2:]
 
-    pad = jnp.zeros((6, L), dtype=jnp.float32)
-    out_ref[:] = jnp.concatenate([acc_hi, acc_lo, pad], axis=0)
+    pad = jnp.zeros((8 - len(acc), L), dtype=jnp.float32)
+    out_ref[:] = jnp.concatenate([*acc, pad], axis=0)
 
 
 # Unrolled inner blocks: within an aligned block of U = 2**u steps
@@ -155,7 +169,7 @@ def _static_table(u: int):
 def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
                       colstlo_ref, out_ref, *, df: bool,
                       exact_storage: bool, kahan: bool = False,
-                      u: int = 4):
+                      tf: bool = False, u: int = 4):
     """Unrolled kernel; u = log2 of the unroll factor (requires the
     runtime r >= u+1 so the mid step lands on a j = 2**u boundary).
     r is a RUNTIME scalar: the axon remote Mosaic compiler cannot persist
@@ -179,6 +193,8 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
     xlo0 = xlo_ref[:] if full_df else jnp.zeros_like(xhi0)
 
     def prod_term(xhi, xlo):
+        if tf:
+            return tfm.tree_prod_tf96(xhi)
         if not df:
             return tree_prod_f32(xhi), None
         if exact_storage:
@@ -197,7 +213,14 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
             return df64.df_add(xhi, xlo, ck_hi * s, ck_lo * s)
         return xhi + ck_hi * s, xlo
 
-    def acc_add(acc_hi, acc_lo, phi, plo, pos):
+    def acc_add(acc, term, pos):
+        if tf:
+            t0, t1, t2 = term
+            if not pos:
+                t0, t1, t2 = -t0, -t1, -t2
+            return tfm.tf_add(*acc, t0, t1, t2)
+        phi, plo = term
+        acc_hi, acc_lo = acc
         if df:
             return df64.df_add(acc_hi, acc_lo,
                                phi if pos else -phi,
@@ -210,7 +233,7 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
     def static_steps(carry, b_parity_pos):
         """The 2**u - 1 static steps of a block; b_parity_pos is the
         (possibly traced) +/-1 sign of the j = 2**(u-1) update."""
-        xhi, xlo, acc_hi, acc_lo = carry
+        xhi, xlo, *acc = carry
         for j, k, sgn in _static_table(u):
             if sgn == 0:     # j == 2**(u-1): sign is the block parity
                 ck = chi[u - 1] * b_parity_pos
@@ -218,22 +241,22 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
                 xhi, xlo = upd_dyn(xhi, xlo, ck, cl, jnp.float32(1))
             else:
                 xhi, xlo = upd_static(xhi, xlo, k, sgn > 0)
-            phi, plo = prod_term(xhi, xlo)
-            acc_hi, acc_lo = acc_add(acc_hi, acc_lo, phi, plo,
-                                     (j & 1) == 0)
-        return xhi, xlo, acc_hi, acc_lo
+            acc = acc_add(tuple(acc), prod_term(xhi, xlo), (j & 1) == 0)
+        return (xhi, xlo, *acc)
 
     # m = 0 term: base index is even -> sign +1
-    phi, plo = prod_term(xhi0, xlo0)
-    acc_hi = phi
-    acc_lo = plo if df else jnp.zeros_like(phi)
+    if tf:
+        acc0 = prod_term(xhi0, xlo0)
+    else:
+        phi, plo = prod_term(xhi0, xlo0)
+        acc0 = (phi, plo if df else jnp.zeros_like(phi))
 
     nb = _I32(1) << (r - _I32(u))            # 2**u-step blocks per chunk
 
     def block(b, carry):
         s8 = jnp.where((b & _I32(1)) == _I32(0),
                        jnp.float32(1), jnp.float32(-1))
-        xhi, xlo, acc_hi, acc_lo = static_steps(carry, s8)
+        xhi, xlo, *acc = static_steps(carry, s8)
         # j = 2**u: column k = u + ctz(b+1), the only dynamic select
         q = b + _I32(1)
         c = _ctz(q)
@@ -249,37 +272,38 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
                            ck_hi * s_row,
                            ck_lo * s_row if full_df else None,
                            jnp.float32(1))
-        phi, plo = prod_term(xhi, xlo)
-        acc_hi, acc_lo = acc_add(acc_hi, acc_lo, phi, plo, True)
-        return xhi, xlo, acc_hi, acc_lo
+        acc = acc_add(tuple(acc), prod_term(xhi, xlo), True)
+        return (xhi, xlo, *acc)
 
     carry = lax.fori_loop(_I32(0), nb - _I32(1), block,
-                          (xhi0, xlo0, acc_hi, acc_lo))
+                          (xhi0, xlo0, *acc0))
     # final block: static steps only (m = 2**r belongs to the next
     # chunk); its mid-step parity is the parity of nb-1
     s8_last = jnp.where(((nb - _I32(1)) & _I32(1)) == _I32(0),
                         jnp.float32(1), jnp.float32(-1))
-    _, _, acc_hi, acc_lo = static_steps(carry, s8_last)
+    out = static_steps(carry, s8_last)
+    acc = out[2:]
 
-    pad = jnp.zeros((6, L), dtype=jnp.float32)
-    out_ref[:] = jnp.concatenate([acc_hi, acc_lo, pad], axis=0)
+    pad = jnp.zeros((8 - len(acc), L), dtype=jnp.float32)
+    out_ref[:] = jnp.concatenate([*acc, pad], axis=0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("use_u16", "df", "exact_storage", "kahan", "u",
+    static_argnames=("use_u16", "df", "exact_storage", "kahan", "tf", "u",
                      "interpret"))
 def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, *,
                   use_u16: bool, df: bool, exact_storage: bool,
-                  kahan: bool, u: int, interpret: bool):
+                  kahan: bool, tf: bool, u: int, interpret: bool):
     B, n_pad, L = xhi.shape
     if use_u16:
         kern = functools.partial(_ryser_kernel_u16, df=df,
                                  exact_storage=exact_storage,
-                                 kahan=kahan, u=u)
+                                 kahan=kahan, tf=tf, u=u)
     else:
         kern = functools.partial(_ryser_kernel, df=df,
-                                 exact_storage=exact_storage, kahan=kahan)
+                                 exact_storage=exact_storage, kahan=kahan,
+                                 tf=tf)
     flops_per = 2 * n_pad * (10 if df else 1)
     # One pallas program per block, sequenced with lax.map rather than a
     # pallas grid (the axon remote Mosaic compiler rejects gridded kernels;
@@ -307,7 +331,7 @@ def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, *,
 
 def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
                    exact_storage: bool, kahan: bool = False,
-                   interpret: bool = False):
+                   tf: bool = False, interpret: bool = False):
     """Run the kernel over a block of chunks.
 
     xhi/xlo: (B, n_pad, L) initialized lane x-vectors (hi/lo pair)
@@ -330,11 +354,12 @@ def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
     # (19.6 -> 27.4 G iters/s); df64 is compute-bound and flat, so it
     # keeps the small body (faster Mosaic compiles).
     full_df = df and not exact_storage
-    # full-df bodies are the largest (pair-product trees); cap their
-    # unroll to keep Mosaic compile time reasonable
-    u = min(4 if full_df else (5 if df else 7), r - 1) if use_u16 else 4
+    # full-df and tf bodies are the largest (pair/triple-product trees);
+    # cap their unroll to keep Mosaic compile time reasonable
+    u = min(4 if (full_df or tf) else (5 if df else 7), r - 1) \
+        if use_u16 else 4
     r_arr = jnp.asarray([r], dtype=jnp.int32)
     return _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo,
                          use_u16=use_u16, df=df,
-                         exact_storage=exact_storage, kahan=kahan, u=u,
-                         interpret=interpret)
+                         exact_storage=exact_storage, kahan=kahan, tf=tf,
+                         u=u, interpret=interpret)

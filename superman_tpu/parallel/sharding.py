@@ -44,7 +44,7 @@ def pad_ids(ids: np.ndarray, lanes: int, num_shards: int):
 @functools.lru_cache(maxsize=None)
 def _sharded_fn(mesh: Mesh, n: int, n_pad: int, df: bool,
                 exact_storage: bool, use_u16: bool, kahan: bool,
-                u: int, interpret: bool):
+                tf: bool, u: int, interpret: bool):
     """jitted shard_map executable, cached per (mesh, statics) so repeated
     calls (and different r values) reuse one compile."""
     init_df = df and not exact_storage
@@ -56,7 +56,7 @@ def _sharded_fn(mesh: Mesh, n: int, n_pad: int, df: bool,
         return _partials_jit(r_arr, xhi, xlo, smid, cth, ctl,
                              use_u16=use_u16, df=df,
                              exact_storage=exact_storage, kahan=kahan,
-                             u=u, interpret=interpret)
+                             tf=tf, u=u, interpret=interpret)
 
     f = shard_map(
         local, mesh=mesh,
@@ -70,6 +70,7 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
                      colst_hi, colst_lo, plan: gray.RyserPlan, *,
                      df: bool, exact_storage: bool,
                      mesh: Optional[Mesh] = None, kahan: bool = False,
+                     tf: bool = False,
                      interpret: bool = False) -> np.ndarray:
     """Run init + kernel over (B, L) chunk ids, optionally sharded.
 
@@ -92,10 +93,15 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
                                          n=n, n_pad=n_pad, r=r, df=init_df)
         out = ryser_partials(xhi, xlo, smid, args[3], args[4], r=r, df=df,
                              exact_storage=exact_storage, kahan=kahan,
-                             interpret=interpret)
+                             tf=tf, interpret=interpret)
     else:
         fn = _sharded_fn(mesh, n, n_pad, df, exact_storage, use_u16,
-                         kahan, u, interpret)
+                         kahan, tf, u, interpret)
         out = fn(jnp.asarray([r], dtype=jnp.int32), *args)
+    if tf:
+        # triple words summed in long double: the per-lane partial holds
+        # ~72 mantissa bits, beyond f64
+        out = np.asarray(out, dtype=np.longdouble)   # (B, 8, L)
+        return out[:, 0, :] + out[:, 1, :] + out[:, 2, :]
     out = np.asarray(out, dtype=np.float64)      # (B, 8, L)
     return out[:, 0, :] + out[:, 1, :]           # hi + lo, exact in f64

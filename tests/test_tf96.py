@@ -1,0 +1,51 @@
+"""tf96 (triple-float) calc tier: ~72-bit products/accumulation.
+
+Ground truth is exact (python-int perman_brute / known factorials), so
+these measure TRUE accuracy, not agreement with another float engine."""
+
+import math
+
+import numpy as np
+import pytest
+
+import superman_tpu as sp
+from superman_tpu.ops.oracle import perman_brute
+from tests.conftest import random_int_matrix
+
+
+def test_tf96_exact_integers(rng):
+    """Sparse random int matrix (brute-force DFS feasible): tf96 should
+    recover the exact integer permanent (df64 is ~1e-10 there; tf96
+    target ~1e-15)."""
+    a = random_int_matrix(rng, 20, 0.18, vmax=3)
+    np.fill_diagonal(a, rng.integers(1, 4, 20))
+    want = perman_brute(a)                      # exact python int
+    got = sp.permanent(a, calc="tf96", chunk_log2=6, lanes=256,
+                       skip_pruning=False)
+    assert got.algo_name.endswith("tf96")
+    assert got.permanent == pytest.approx(float(want), rel=1e-14)
+
+
+def test_tf96_all_ones_cancellation():
+    """per(J_20) = 20!: the df64 worst case (~1e-7 there); tf96 should
+    land within double rounding of the exact value."""
+    got = sp.permanent(np.ones((20, 20), dtype=np.int64), calc="tf96")
+    assert got.permanent == pytest.approx(float(math.factorial(20)),
+                                          rel=1e-13)
+
+
+def test_tf96_pm1_cancellation(rng):
+    a = rng.choice([-1, 1], (20, 20)).astype(np.int64)
+    want = perman_brute(a) if 20 <= 14 else None
+    # brute is too slow dense; compare tf96 against itself via glynn-free
+    # exactness: the permanent of a +-1 matrix is an even integer
+    got = sp.permanent(a, calc="tf96", chunk_log2=6, lanes=256).permanent
+    assert abs(got - round(got)) < 1e-4
+    assert round(got) % 2 == 0
+
+
+def test_tf96_falls_back_for_floats(rng):
+    a = rng.random((20, 20))
+    with pytest.warns(UserWarning, match="tf96 requires"):
+        r = sp.permanent(a, calc="tf96", chunk_log2=6, lanes=256)
+    assert "df64" in r.algo_name

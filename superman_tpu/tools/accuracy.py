@@ -36,6 +36,7 @@ SWEEP = [
                                calc="df64"), 1e-9),
     ("exact_compressed", dict(compression=True, calc="df64"), 1e-9),
     ("exact_glynn", dict(perman_algo="glynn", calc="df64"), 1e-8),
+    ("exact_tf96", dict(calc="tf96"), 1e-9),
     ("exact_scaled_u2", dict(scaling_threshold=2.0, calc="df64"), 1e-7),
     ("approx_rasmussen", dict(approximation=True,
                               perman_algo="rasmussen",

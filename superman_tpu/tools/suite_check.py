@@ -15,7 +15,7 @@ import sys
 import time
 
 
-def check(files, out=None, log=print):
+def check(files, out=None, log=print, calc="df64"):
     import numpy as np
     import superman_tpu as sp
     from superman_tpu.bindings.native import native_available
@@ -26,13 +26,13 @@ def check(files, out=None, log=print):
     worst = 0.0
     for path in files:
         t0 = time.time()
-        tpu = sp.permanent(path, calc="df64")
+        tpu = sp.permanent(path, calc=calc)
         nat = sp.permanent(path, calc="f64", cpu=True, gpu=False)
         rel = (abs(tpu.permanent - nat.permanent)
                / max(abs(nat.permanent), 1e-300))
         worst = max(worst, rel)
-        rec = {"file": path.split("/")[-1],
-               "tpu_df64": tpu.permanent, "native_double": nat.permanent,
+        rec = {"file": path.split("/")[-1], "calc": calc,
+               "tpu": tpu.permanent, "native_double": nat.permanent,
                "rel_diff": float(f"{rel:.3e}"),
                "tpu_s": round(tpu.time, 3), "native_s": round(nat.time, 3),
                "wall_s": round(time.time() - t0, 2)}
@@ -56,10 +56,11 @@ def main(argv=None) -> int:
     p.add_argument("--root", default="/root/reference/int")
     p.add_argument("--out", default=None)
     p.add_argument("--tol", type=float, default=1e-8)
+    p.add_argument("--calc", default="df64")
     args = p.parse_args(argv)
     files = [f"{args.root}/{n}_{d}_{s}"
              for n in args.n for d in args.densities for s in args.seeds]
-    _, worst = check(files, out=args.out)
+    _, worst = check(files, out=args.out, calc=args.calc)
     if worst > args.tol:
         print(f"SUITE CHECK FAILED: worst rel diff {worst:.3e} > {args.tol}",
               file=sys.stderr)

@@ -71,6 +71,7 @@ def glynn_exact(dense: DenseMatrix, flags, mesh=None) -> Result:
 
     df = calc == "df64"
     kahan = calc == "f32k"
+    tf = calc == "tf96"
     # Glynn's x_j = sum_i delta_i a_ij * 2^-s_j: all terms in x_j share
     # the column scale, so the walk is exact in f32 iff the column
     # abs-sums fit in 24-bit mantissas (mirror of ryser._exact_storage's
@@ -79,10 +80,15 @@ def glynn_exact(dense: DenseMatrix, flags, mesh=None) -> Result:
         dense.type == "int"
         and np.max(np.abs(a.astype(np.float64)).sum(axis=0),
                    initial=0.0) < 2 ** 22)
+    if tf and not exact_storage:
+        import warnings
+        warnings.warn("tf96 requires exact-f32 storage; falling back to "
+                      "df64")
+        tf, df, calc = False, True, "df64"
     from ..parallel.sharding import pad_ids, compute_partials
     num_shards = (int(np.prod(mesh.devices.shape))
                   if mesh is not None else 1)
-    plan = gray.make_plan(n, flags.lanes, flags.chunk_log2, df=df,
+    plan = gray.make_plan(n, flags.lanes, flags.chunk_log2, df=df or tf,
                           num_shards=num_shards)
     ids_blocks = pad_ids(
         np.arange(plan.num_chunks, dtype=np.int32), plan.lanes, num_shards)
@@ -100,15 +106,17 @@ def glynn_exact(dense: DenseMatrix, flags, mesh=None) -> Result:
         partials = compute_partials(
             ids_blocks, x0_pair, cols_pair, cth, ctl, plan,
             df=df, exact_storage=exact_storage, mesh=mesh, kahan=kahan,
-            interpret=interpret)
-        total = float(partials.sum(dtype=np.float64))
+            tf=tf, interpret=interpret)
+        total = (partials.sum(dtype=np.longdouble) if tf
+                 else float(partials.sum(dtype=np.float64)))
         if total != 0.0 and abs(total) > 2.0 ** -40:
             break
         bump = 120 if total == 0.0 else int(-np.log2(abs(total)) // n + 1)
         scales = scales - max(1, min(bump, int(110 / n)))
     E = int(scales.sum())
     with np.errstate(over="ignore"):
-        p = float(np.ldexp(np.float64(total), E + 1 - n)) + 0.0
+        acc = np.longdouble(total) if tf else np.float64(total)
+        p = float(np.ldexp(acc, E + 1 - n)) + 0.0
     dt = time.perf_counter() - t0
     iters = plan.num_chunks << plan.r
     return Result(p, dt, algo_name=f"glynn_pallas_{calc}",

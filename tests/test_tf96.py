@@ -49,3 +49,15 @@ def test_tf96_falls_back_for_floats(rng):
     with pytest.warns(UserWarning, match="tf96 requires"):
         r = sp.permanent(a, calc="tf96", chunk_log2=6, lanes=256)
     assert "df64" in r.algo_name
+
+
+def test_tf96_glynn_cross_agreement(rng):
+    """tf96 Ryser vs tf96 Glynn: two independent exact formulas at
+    ~2^-70 per-term precision should agree to ~1e-13."""
+    a = random_int_matrix(rng, 20, 0.3, vmax=2)
+    np.fill_diagonal(a, 1)
+    ry = sp.permanent(a, calc="tf96", chunk_log2=6, lanes=128,
+                      skip_pruning=False)
+    gl = sp.permanent(a, calc="tf96", chunk_log2=6, lanes=128,
+                      perman_algo="glynn")
+    assert gl.permanent == pytest.approx(ry.permanent, rel=1e-13)

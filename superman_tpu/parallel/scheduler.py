@@ -61,12 +61,12 @@ def _journal_key(a_s: np.ndarray, r: int) -> str:
 
 
 class _Journal:
-    """Append-only checkpoint of (unit id -> raw partial sum)."""
+    """Append-only checkpoint of (block range -> raw partial sum)."""
 
     def __init__(self, path: Optional[str], key: str):
         self.path = path
         self.key = key
-        self.done: dict[int, float] = {}
+        self.done: dict[tuple, float] = {}
         self._f = None
         if not path:
             return
@@ -77,24 +77,29 @@ class _Journal:
                     if head.get("key") == key:
                         for line in f:
                             rec = json.loads(line)
-                            self.done[int(rec["unit"])] = float(rec["value"])
+                            self.done[(int(rec["start"]),
+                                       int(rec["count"]))] = \
+                                float(rec["value"])
                     else:
                         trace.log(f"checkpoint {path}: key mismatch, "
                                   "starting fresh", level=1)
-            except (ValueError, OSError) as e:
+            except (ValueError, OSError, KeyError) as e:
                 trace.log(f"checkpoint {path}: unreadable ({e}), "
                           "starting fresh", level=1)
+                self.done = {}
         mode = "a" if self.done else "w"
         self._f = open(path, mode)
         if mode == "w":
             self._f.write(json.dumps({"key": key}) + "\n")
             self._f.flush()
 
-    def record(self, unit: int, value: float, by: str, dt: float) -> None:
+    def record(self, start: int, count: int, value: float, by: str,
+               dt: float) -> None:
         if self._f is None:
             return
-        self._f.write(json.dumps({"unit": unit, "value": value,
-                                  "by": by, "t": round(dt, 4)}) + "\n")
+        self._f.write(json.dumps({"start": start, "count": count,
+                                  "value": value, "by": by,
+                                  "t": round(dt, 4)}) + "\n")
         self._f.flush()
         os.fsync(self._f.fileno())
 
@@ -127,29 +132,43 @@ def compute_partials_hybrid(
         workers = 2 if cpu_helper else 1
         unit_blocks = max(num_shards, B // max(1, 8 * workers))
     unit_blocks = -(-max(unit_blocks, num_shards) // num_shards) * num_shards
-    units = [(u, slice(s, min(s + unit_blocks, B)))
-             for u, s in enumerate(range(0, B, unit_blocks))]
+    # the CPU worker pulls FINER units so a slow CPU grab near the end
+    # cannot stall the finish (measured: a coarse CPU unit idled the TPU
+    # for seconds in the tail)
+    cpu_blocks = max(num_shards, unit_blocks // 8)
 
     journal = _Journal(checkpoint_path, _journal_key(a_s, plan.r))
-    stats = HybridStats(units_total=len(units),
-                        units_resumed=len(journal.done))
+    covered = np.zeros(B, dtype=bool)
+    resumed_total = 0.0
+    for (start, count), value in journal.done.items():
+        covered[start:start + count] = True
+        resumed_total += value
+    stats = HybridStats(units_resumed=len(journal.done))
+    stats.units_total = len(journal.done)
 
     lock = threading.Lock()
-    next_unit = [0]
-    results: dict[int, float] = dict(journal.done)
+    pos = [0]
+    results: dict[int, float] = {}
     failures: list[tuple[int, str, BaseException]] = []
 
-    def pull() -> Optional[tuple[int, slice]]:
+    def pull(k: int) -> Optional[tuple[int, int]]:
+        """Next run of up to k uncovered contiguous blocks."""
         with lock:
-            while next_unit[0] < len(units):
-                u, sl = units[next_unit[0]]
-                next_unit[0] += 1
-                if u not in results:
-                    return u, sl
-            return None
+            p = pos[0]
+            while p < B and covered[p]:
+                p += 1
+            if p >= B:
+                pos[0] = B
+                return None
+            start = p
+            while p < B and not covered[p] and p - start < k:
+                p += 1
+            covered[start:p] = True        # claimed
+            pos[0] = p
+            return start, p
 
-    def run_tpu_unit(sl: slice) -> float:
-        blk = ids_blocks[sl]
+    def run_tpu_unit(start: int, end: int) -> float:
+        blk = ids_blocks[start:end]
         # pad every unit to the same (unit_blocks, L) shape: one compiled
         # kernel serves the whole run (sentinel -1 lanes contribute 0)
         pad = unit_blocks - len(blk)
@@ -161,54 +180,57 @@ def compute_partials_hybrid(
                                mesh=mesh, kahan=kahan, interpret=interpret)
         return float(out.sum(dtype=np.float64))
 
-    def run_cpu_unit(sl: slice) -> float:
+    def run_cpu_unit(start: int, end: int) -> float:
         from ..bindings.native import perman_dense_chunks
-        ids = ids_blocks[sl].ravel()
+        ids = ids_blocks[start:end].ravel()
         ids = ids[ids >= 0].astype(np.int64)
         if len(ids) == 0:
             return 0.0
         return perman_dense_chunks(a_s, ids, plan.r, threads)
 
-    def worker(kind: str, fn):
+    def worker(kind: str, fn, k: int):
         while True:
-            item = pull()
+            item = pull(k)
             if item is None:
                 return
-            u, sl = item
+            start, end = item
             t0 = time.perf_counter()
             value = None
             for attempt in range(3):
                 try:
-                    value = fn(sl)
+                    value = fn(start, end)
                     break
                 except Exception as e:          # noqa: BLE001 — retried
                     with lock:
                         stats.retries += 1
-                    trace.log(f"unit {u} failed on {kind} "
+                    trace.log(f"blocks [{start},{end}) failed on {kind} "
                               f"(attempt {attempt + 1}): {e}", level=1)
                     err = e
             if value is None:
                 with lock:
-                    failures.append((u, kind, err))
+                    failures.append((start, kind, err))
                 return
             dt = time.perf_counter() - t0
             with lock:
-                results[u] = value
+                results[start] = value
+                stats.units_total += 1
                 if kind == "tpu":
                     stats.units_tpu += 1
                 else:
                     stats.units_cpu += 1
-                journal.record(u, value, kind, dt)
-            trace.log(f"unit {u} is DONE by {kind} in {dt:.4f}s", level=2)
+                journal.record(start, end - start, value, kind, dt)
+            trace.log(f"blocks [{start},{end}) DONE by {kind} "
+                      f"in {dt:.4f}s", level=2)
 
     tpu_thread = threading.Thread(
-        target=worker, args=("tpu", run_tpu_unit), name="hybrid-tpu")
+        target=worker, args=("tpu", run_tpu_unit, unit_blocks),
+        name="hybrid-tpu")
     threads_list = [tpu_thread]
     if cpu_helper:
         from ..bindings.native import native_available
         if native_available():
             threads_list.append(threading.Thread(
-                target=worker, args=("cpu", run_cpu_unit),
+                target=worker, args=("cpu", run_cpu_unit, cpu_blocks),
                 name="hybrid-cpu"))
         else:
             trace.log("hybrid: native CPU engine unavailable, "
@@ -220,14 +242,12 @@ def compute_partials_hybrid(
     journal.close()
 
     if failures:
-        u, kind, err = failures[0]
+        start, kind, err = failures[0]
         raise RuntimeError(
-            f"hybrid scheduler: unit {u} failed on {kind} worker after "
-            f"retries: {err}") from err
-    missing = [u for u, _ in units if u not in results]
-    if missing:
-        raise RuntimeError(f"hybrid scheduler: units never completed: "
-                           f"{missing[:8]}{'...' if len(missing) > 8 else ''}")
-    total = float(np.sum(np.fromiter(
-        (results[u] for u, _ in units), dtype=np.float64)))
+            f"hybrid scheduler: blocks at {start} failed on {kind} worker "
+            f"after retries: {err}") from err
+    if pos[0] < B or (not failures and not covered.all()):
+        raise RuntimeError("hybrid scheduler: blocks never completed")
+    total = resumed_total + float(np.sum(np.fromiter(
+        (results[s] for s in sorted(results)), dtype=np.float64)))
     return total, stats

@@ -62,17 +62,18 @@ def test_checkpoint_resume(rng, tmp_path):
                         hybrid=True, checkpoint_path=ck)
     lines = [json.loads(x) for x in open(ck)]
     assert lines[0]["key"]
-    units = [x for x in lines[1:]]
-    assert len(units) == full.meta["hybrid"]["units"]
+    pulls = lines[1:]
+    assert len(pulls) == full.meta["hybrid"]["units"]
+    assert all("start" in rec and "count" in rec for rec in pulls)
 
-    # truncate the journal to half the units -> resume computes the rest
-    keep = 1 + len(units) // 2
+    # truncate the journal to half the pulls -> resume computes the rest
+    keep = 1 + len(pulls) // 2
     with open(ck, "w") as f:
         for rec in lines[:keep]:
             f.write(json.dumps(rec) + "\n")
     resumed = sp.permanent(a, calc="df64", chunk_log2=6, lanes=256,
                            hybrid=True, checkpoint_path=ck)
-    assert resumed.permanent == full.permanent
+    assert resumed.permanent == pytest.approx(full.permanent, rel=1e-12)
     assert resumed.meta["hybrid"]["resumed"] == keep - 1
 
     # a different matrix invalidates the journal (key mismatch)
@@ -110,5 +111,5 @@ def test_failure_retry_then_abort(rng, monkeypatch):
 
     monkeypatch.setattr("superman_tpu.parallel.sharding.compute_partials",
                         always_fails)
-    with pytest.raises(RuntimeError, match="unit 0 failed"):
+    with pytest.raises(RuntimeError, match="blocks at 0 failed"):
         sp.permanent(a, calc="df64", chunk_log2=6, lanes=256, hybrid=True)

@@ -50,5 +50,5 @@ __version__ = "0.1.0"
 __all__ = [
     "Flags", "Result", "DenseMatrix", "SparseMatrix", "matrix2compressed",
     "read_triplet", "write_triplet", "read_matrix_market", "read_any",
-    "permanent", "permanent_batch",
+    "permanent", "permanent_batch", "grid_permanent",
 ]

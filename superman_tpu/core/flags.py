@@ -79,6 +79,8 @@ class Flags:
     hybrid: bool = False
     #: journal finished work units here; a restarted run resumes from it
     checkpoint_path: Optional[str] = None
+    #: relative-accuracy target for calc="auto" escalation
+    auto_target: float = 1e-9
     #: PRNG seed for approximation algorithms
     seed: int = 0
 

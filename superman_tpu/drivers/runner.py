@@ -55,6 +55,9 @@ def run_algo(dense: DenseMatrix, flags: Flags) -> Result:
         if flags.sparse else dense
     mesh = mesh_for_flags(flags)
 
+    if flags.calc == "auto":
+        return _run_auto(dm, flags, mesh)
+
     if str(flags.perman_algo) == "glynn":
         # independent second exact engine (cross-algorithm oracle)
         from ..ops.glynn import glynn_exact
@@ -76,4 +79,44 @@ def run_algo(dense: DenseMatrix, flags: Flags) -> Result:
     if flags.sparse:
         res.algo_name = res.algo_name.replace("ryser", "sparyser")
     flags.algo_name = res.algo_name
+    return res
+
+
+def _run_auto(dm: DenseMatrix, flags: Flags, mesh) -> Result:
+    """Accuracy-adaptive calc (calc="auto", target ~1e-9 relative).
+
+    The f32k and df64 tiers share the same error AMPLIFICATION (the
+    cancellation ratio sum|term| / |sum term|); their difference measures
+    f32k's realized error (~amp * 2^-24), which predicts df64's
+    (~amp * 2^-48).  When the prediction exceeds the target and the
+    matrix qualifies, escalate to tf96 (~amp * 2^-70).  No reference
+    equivalent — its users must guess between double and quad.
+
+    Known blind spot: on highly degenerate matrices (e.g. all-ones) the
+    per-term rounding errors are CORRELATED across lanes, so the f32k/df64
+    difference under-measures the amplification; tighten `auto_target`
+    (or use calc="tf96" directly) for such inputs.
+    """
+    import dataclasses
+    from ..ops.ryser import ryser_exact
+
+    TARGET = float(flags.auto_target)
+    fast = ryser_exact(dm, dataclasses.replace(flags, calc="f32k"),
+                       mesh=mesh)
+    res = ryser_exact(dm, dataclasses.replace(flags, calc="df64"),
+                      mesh=mesh)
+    scale = max(abs(res.permanent), 1e-300)
+    diff_rel = abs(res.permanent - fast.permanent) / scale
+    # f32k error ~ diff_rel; df64 error ~ diff_rel * 2^-24
+    est_df64_err = diff_rel * 2.0 ** -24
+    if est_df64_err > TARGET:
+        hi = ryser_exact(dm, dataclasses.replace(flags, calc="tf96"),
+                         mesh=mesh)
+        hi.meta["auto"] = {"escalated": "tf96",
+                           "df64_err_est": float(f"{est_df64_err:.2e}")}
+        hi.time += res.time + fast.time
+        return hi
+    res.meta["auto"] = {"escalated": None,
+                        "df64_err_est": float(f"{est_df64_err:.2e}")}
+    res.time += fast.time
     return res

@@ -84,3 +84,17 @@ def test_extreme_magnitudes(rng):
     # scaled + compressed drivers on the same magnitudes must not raise
     r2 = sp.permanent(a, calc="df64", scaling_threshold=2.0)
     assert np.isfinite(r2.permanent) or np.isinf(r2.permanent)
+
+
+def test_calc_auto_escalation(rng):
+    """calc='auto': benign matrices stay on df64; a tight auto_target
+    forces the tf96 escalation path."""
+    a = random_int_matrix(rng, 20, 0.5, vmax=2)
+    r = sp.permanent(a, calc="auto", chunk_log2=6, lanes=256)
+    assert r.meta["auto"]["escalated"] is None
+    assert r.permanent == pytest.approx(perman64(a), rel=1e-9)
+
+    r2 = sp.permanent(a, calc="auto", chunk_log2=6, lanes=256,
+                      auto_target=1e-30)
+    assert r2.meta["auto"]["escalated"] == "tf96"
+    assert r2.permanent == pytest.approx(perman64(a), rel=1e-9)

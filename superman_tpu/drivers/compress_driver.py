@@ -49,8 +49,35 @@ def compress_and_calculate_recursive(dense: DenseMatrix, flags) -> Result:
     if flags.scaling_threshold != -1.0:
         from .scale_driver import scale_and_calculate
         return scale_and_calculate(dense, flags, compressing=True)
+    if _magnitude_imbalanced(dense.mat):
+        # d2 merges concentrate magnitude; the resulting within-line
+        # spread makes the Ryser sum cancellation-bound beyond ANY
+        # double-class arithmetic (found by fuzzing: exact 2.8e-194
+        # evaluated as 1.5e-179 by every f64 walk).  Sinkhorn
+        # preconditioning restores conditioning exactly — the reference's
+        # -o without -u silently returns garbage on such inputs.
+        import dataclasses
+        from .scale_driver import scale_and_calculate
+        from ..utils import trace
+        trace.log("compressed matrix is magnitude-imbalanced; "
+                  "auto-applying Sinkhorn preconditioning", level=1)
+        return scale_and_calculate(
+            dense, dataclasses.replace(flags, scaling_threshold=1.0),
+            compressing=True)
     from .runner import run_algo
     return run_algo(dense, flags)
+
+
+def _magnitude_imbalanced(a: np.ndarray, ratio: float = 1e8) -> bool:
+    """True when some row or column spans more than `ratio` in magnitude
+    across its nonzeros (Ryser conditioning proxy)."""
+    ab = np.abs(np.asarray(a, dtype=np.float64))
+    for m in (ab, ab.T):
+        for row in m:
+            nz = row[row != 0]
+            if len(nz) and nz.max() > ratio * nz.min():
+                return True
+    return False
 
 
 def compress_singleton_and_then_recurse(dense: DenseMatrix, flags) -> Result:

@@ -42,8 +42,9 @@ def _col_scales(a: np.ndarray) -> np.ndarray:
     |x_j| <= sum_i |a_ij| always."""
     ab = np.abs(np.asarray(a, dtype=np.float64))
     xmax = ab.sum(axis=0)
-    s = np.ceil(np.log2(np.maximum(xmax, 2.0 ** -60)))
-    return np.clip(s, -60, 200).astype(np.int64)
+    with np.errstate(divide="ignore"):
+        s = np.ceil(np.log2(np.maximum(xmax, 1e-300)))
+    return np.clip(s, -980, 980).astype(np.int64)
 
 
 def _pack_glynn(a_s: np.ndarray, n_pad: int):
@@ -96,8 +97,7 @@ def glynn_exact(dense: DenseMatrix, flags, mesh=None) -> Result:
 
     scales = _col_scales(a)
     for attempt in range(3):
-        a_s = a.astype(np.float64) * np.exp2(
-            -scales.astype(np.float64))[None, :]
+        a_s = np.ldexp(a.astype(np.float64), -scales[None, :])
         x0_pair, cols_pair = _pack_glynn(a_s, plan.n_pad)
         # the kernel's transposed column table: lane k = -2 * row k
         g = np.zeros((n, n), dtype=np.float64)

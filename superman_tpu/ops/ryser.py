@@ -42,8 +42,12 @@ def _row_scales(a: np.ndarray) -> np.ndarray:
     """
     ab = np.abs(np.asarray(a, dtype=np.float64))
     xmax = ab[:, -1] + ab.sum(axis=1) / 2
-    s = np.ceil(np.log2(np.maximum(xmax, 2.0 ** -60)))
-    return np.clip(s, -60, 200).astype(np.int64)
+    with np.errstate(divide="ignore"):
+        s = np.ceil(np.log2(np.maximum(xmax, 1e-300)))
+    # wide clip: compression drivers can concentrate magnitude into rows
+    # far beyond 2^+-60 (found by fuzzing); the scale is applied with
+    # exact ldexp so any exponent in double range is fine
+    return np.clip(s, -980, 980).astype(np.int64)
 
 
 def colst_pack(a: np.ndarray, n_pad: int):
@@ -173,8 +177,9 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
     scales = _row_scales(a)
     hybrid_stats = None
     for attempt in range(3):
-        a_s = a.astype(np.float64) * np.exp2(-scales.astype(np.float64)
-                                             )[:, None]
+        # ldexp applies the per-row exponent exactly even when 2**-s
+        # alone would overflow double (rows at 2^-500 scale fine)
+        a_s = np.ldexp(a.astype(np.float64), -scales[:, None])
         x0_pair, cols_pair = gray.pack_matrix(a_s, plan.n_pad)
         cth, ctl = colst_pack(a_s, plan.n_pad)
         # a checkpoint path routes through the journaling scheduler even

@@ -125,3 +125,17 @@ def test_dm_prune_flag_end_to_end(rng):
     b[:, 0] = 1; b[0, :] = 1
     assert sp.permanent(b, dm_prune=True).permanent == 0.0
     assert sp.permanent(b, dm_prune=True).algo_name == "dm_structural_zero"
+
+
+def test_compression_autoscales_imbalanced(rng):
+    """Fuzz-derived: d2 merges can concentrate magnitude until the Ryser
+    sum is cancellation-bound beyond double (exact 2.8e-194 evaluated as
+    1.5e-179 by every f64 walk).  The driver must auto-apply Sinkhorn."""
+    import superman_tpu as sp
+    from superman_tpu.ops.oracle import perman_brute
+    n = 16
+    a = (rng.random((n, n)) < 0.2) * rng.random((n, n)) * 1e-8
+    np.fill_diagonal(a, rng.random(n) * 1e-8)
+    want = perman_brute(a)
+    got = sp.permanent(a, calc="df64", compression=True)
+    assert got.permanent == pytest.approx(want, rel=1e-7)

@@ -113,3 +113,22 @@ def test_failure_retry_then_abort(rng, monkeypatch):
                         always_fails)
     with pytest.raises(RuntimeError, match="blocks at 0 failed"):
         sp.permanent(a, calc="df64", chunk_log2=6, lanes=256, hybrid=True)
+
+
+def test_hybrid_mesh_checkpoint_combo(rng, tmp_path):
+    """All distribution features at once: 4-device mesh, hybrid unit
+    queue, checkpoint journal, sparse pruning."""
+    a = random_int_matrix(rng, 21, 0.35, vmax=2)
+    ck = str(tmp_path / "combo.jsonl")
+    ref = sp.permanent(a, calc="df64", chunk_log2=6, lanes=128)
+    got = sp.permanent(a, calc="df64", chunk_log2=6, lanes=128,
+                       sparse=True, preprocessing=2, hybrid=True,
+                       mesh_shape=(4,), checkpoint_path=ck)
+    assert got.permanent == pytest.approx(ref.permanent, rel=1e-10)
+    assert got.meta["hybrid"]["units"] >= 1
+    # resume the same combo
+    again = sp.permanent(a, calc="df64", chunk_log2=6, lanes=128,
+                         sparse=True, preprocessing=2, hybrid=True,
+                         mesh_shape=(4,), checkpoint_path=ck)
+    assert again.meta["hybrid"]["resumed"] >= 1
+    assert again.permanent == pytest.approx(got.permanent, rel=1e-12)

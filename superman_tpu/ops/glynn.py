@@ -96,6 +96,9 @@ def glynn_exact(dense: DenseMatrix, flags, mesh=None) -> Result:
     interpret = jax.default_backend() != "tpu"
 
     scales = _col_scales(a)
+    best = None
+    shifted = 0
+    shift_cap = max(1, 100 // n)
     for attempt in range(3):
         a_s = np.ldexp(a.astype(np.float64), -scales[None, :])
         x0_pair, cols_pair = _pack_glynn(a_s, plan.n_pad)
@@ -109,11 +112,20 @@ def glynn_exact(dense: DenseMatrix, flags, mesh=None) -> Result:
             tf=tf, interpret=interpret)
         total = (partials.sum(dtype=np.longdouble) if tf
                  else float(partials.sum(dtype=np.float64)))
+        # bounded cumulative shifts + finite fallback (see ops/ryser.py)
+        if not np.isfinite(total):
+            break
+        best = (total, int(scales.sum()))
         if total != 0.0 and abs(total) > 2.0 ** -40:
             break
+        room = shift_cap - shifted
+        if room <= 0:
+            break
         bump = 120 if total == 0.0 else int(-np.log2(abs(total)) // n + 1)
-        scales = scales - max(1, min(bump, int(110 / n)))
-    E = int(scales.sum())
+        per_row = max(1, min(bump, room))
+        scales = scales - per_row
+        shifted += per_row
+    total, E = best if best is not None else (total, int(scales.sum()))
     with np.errstate(over="ignore"):
         acc = np.longdouble(total) if tf else np.float64(total)
         p = float(np.ldexp(acc, E + 1 - n)) + 0.0

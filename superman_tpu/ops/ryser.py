@@ -176,6 +176,9 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
 
     scales = _row_scales(a)
     hybrid_stats = None
+    best = None                 # (total, E) of the last FINITE attempt
+    shifted = 0                 # cumulative per-row downshift (log2)
+    shift_cap = max(1, 100 // n)   # total growth <= 2^100 across attempts
     for attempt in range(3):
         # ldexp applies the per-row exponent exactly even when 2**-s
         # alone would overflow double (rows at 2^-500 scale fine)
@@ -223,15 +226,24 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
             total = combine_host_totals(total)
         # scaled sums far below 1 may have lost underflowed terms; shift
         # the row scales to center the result near 2^0 and rerun (scaling
-        # is exact, so a rerun is a pure exponent adjustment)
+        # is exact, so a rerun is a pure exponent adjustment).  Shifts are
+        # bounded CUMULATIVELY — compounding them overflowed f32 to
+        # inf/NaN on signed near-zero-permanent matrices (found by
+        # fuzzing) — and a non-finite rerun falls back to the last finite
+        # attempt.
+        if not np.isfinite(total):
+            break
+        best = (total, int(scales.sum()))
         if total != 0.0 and abs(total) > 2.0 ** -40:
             break
+        room = shift_cap - shifted
+        if room <= 0:
+            break
         bump = 120 if total == 0.0 else int(-np.log2(abs(total)) // n + 1)
-        # keep per-attempt growth below the overflow-safe budget (~2^120
-        # total head-room across the n-factor product)
-        per_row = max(1, min(bump, int(110 / n)))
+        per_row = max(1, min(bump, room))
         scales = scales - per_row
-    E = int(scales.sum())
+        shifted += per_row
+    total, E = best if best is not None else (total, int(scales.sum()))
     # ldexp multiplies by 2**E exactly, handling E beyond the exponent
     # range of a standalone 2.0**E (which would overflow to inf even when
     # total * 2**E is finite); out-of-range RESULTS become the honest

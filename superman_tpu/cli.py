@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", type=str, default=None,
                    help="journal finished work units here and resume "
                         "from it (hybrid scheduler)")
+    p.add_argument("--json", action="store_true",
+                   help="emit one JSON object per run instead of the "
+                        "text result line")
     return p
 
 
@@ -140,15 +143,26 @@ def main(argv=None) -> int:
     from .parallel.mesh import init_distributed
     init_distributed()   # no-op unless JAX_COORDINATOR_ADDRESS is set
     flags = flags_from_args(args)
-    print_flags(flags)
+    if not args.json:
+        print_flags(flags)
 
     from .api import permanent
     overrides = {k: v for k, v in vars(flags).items()}
     rc = 0
+    name = args.file or f"grid{flags.gridm}x{flags.gridn}"
     for _ in range(max(1, flags.rep)):
         res = permanent(args.file, **overrides)
-        print(res.report_line(args.file or
-                              f"grid{flags.gridm}x{flags.gridn}"))
+        if args.json:
+            import dataclasses
+            import json as _json
+            rec = dataclasses.asdict(res)
+            rec["file"] = name
+            rec["meta"] = {k: v for k, v in rec["meta"].items()
+                           if isinstance(v, (int, float, str, bool,
+                                             type(None), dict))}
+            print(_json.dumps(rec))
+        else:
+            print(res.report_line(name))
     return rc
 
 

@@ -126,3 +126,17 @@ def test_unknown_flag_rejected():
     import superman_tpu as sp
     with pytest.raises(TypeError, match="unknown flags"):
         sp.permanent(np.eye(3), not_a_flag=1)
+
+
+def test_cli_json_output(rng, tmp_path, capsys):
+    from superman_tpu.cli import main
+    from superman_tpu.core.matrix import DenseMatrix
+    from superman_tpu.io.triplet import write_triplet
+    import json as _json
+    a = (rng.random((8, 8)) < 0.7).astype(np.int64)
+    p = tmp_path / "m.txt"
+    write_triplet(str(p), DenseMatrix(a, "int"))
+    assert main(["-f", str(p), "--json"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = _json.loads(out[-1])
+    assert "permanent" in rec and rec["file"] == str(p)

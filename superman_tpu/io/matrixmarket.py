@@ -28,6 +28,10 @@ def read_matrix_market(path: str, binary_graph: bool = False,
         if field == "complex":
             raise ValueError(f"{path}: complex matrices are not supported")
         symmetric = symmetry in ("symmetric", "skew-symmetric")
+        # skew mirrors with NEGATED values (the reference lumps skew with
+        # symmetric and mirrors the same value, main.cpp:1573 — a bug we
+        # do not reproduce)
+        skew = symmetry == "skew-symmetric"
 
         # skip comments
         line = f.readline()
@@ -62,7 +66,7 @@ def read_matrix_market(path: str, binary_graph: bool = False,
                 v = float(parts[2])
             mat[i, j] = v
             if symmetric:
-                mat[j, i] = v
+                mat[j, i] = -v if skew else v
     return DenseMatrix(mat, type_name)
 
 

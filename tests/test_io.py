@@ -140,3 +140,13 @@ def test_cli_json_output(rng, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     rec = _json.loads(out[-1])
     assert "permanent" in rec and rec["file"] == str(p)
+
+
+def test_skew_symmetric_mirrors_negated(tmp_path):
+    p = tmp_path / "sk.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real skew-symmetric\n"
+                 "3 3 2\n2 1 5.0\n3 2 -2.0\n")
+    from superman_tpu.io.matrixmarket import read_any
+    m = read_any(str(p)).mat
+    assert m[1, 0] == 5.0 and m[0, 1] == -5.0
+    assert m[2, 1] == -2.0 and m[1, 2] == 2.0

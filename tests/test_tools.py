@@ -70,3 +70,10 @@ def test_native_header_matches_library(tmp_path):
     exe = tmp_path / "check"
     subprocess.run(["gcc", str(src), lib, "-o", str(exe)], check=True)
     subprocess.run([str(exe)], check=True)
+
+
+def test_fuzz_harness_smoke():
+    """A handful of fuzz trials as a regression gate (full runs found 4
+    real bugs in round 1; see tools/fuzz.py)."""
+    from superman_tpu.tools.fuzz import run
+    assert run(trials=5, seed=123, log=lambda s: None) == 0

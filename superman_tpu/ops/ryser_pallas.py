@@ -230,19 +230,30 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
             return hi, acc_lo + e
         return acc_hi + (phi if pos else -phi), acc_lo
 
+    # K rotating accumulators (K=1 -> the classic single chain).
+    # Negative result (measured, do not re-try blindly): K=4 left df64
+    # UNCHANGED (the tree's dependent levels, not the acc chain, are the
+    # critical path), gained only ~5-8% on f32/f32k, and degraded df64
+    # end accuracy 17x (1.4e-10 -> 2.5e-9) by regrouping the compensated
+    # sums — a bad trade, so K stays 1.
+    K = 1
+
     def static_steps(carry, b_parity_pos):
         """The 2**u - 1 static steps of a block; b_parity_pos is the
         (possibly traced) +/-1 sign of the j = 2**(u-1) update."""
-        xhi, xlo, *acc = carry
-        for j, k, sgn in _static_table(u):
+        xhi, xlo, accs = carry
+        accs = list(accs)
+        for idx, (j, k, sgn) in enumerate(_static_table(u)):
             if sgn == 0:     # j == 2**(u-1): sign is the block parity
                 ck = chi[u - 1] * b_parity_pos
                 cl = clo[u - 1] * b_parity_pos if full_df else None
                 xhi, xlo = upd_dyn(xhi, xlo, ck, cl, jnp.float32(1))
             else:
                 xhi, xlo = upd_static(xhi, xlo, k, sgn > 0)
-            acc = acc_add(tuple(acc), prod_term(xhi, xlo), (j & 1) == 0)
-        return (xhi, xlo, *acc)
+            slot = idx % K
+            accs[slot] = acc_add(accs[slot], prod_term(xhi, xlo),
+                                 (j & 1) == 0)
+        return xhi, xlo, tuple(accs)
 
     # m = 0 term: base index is even -> sign +1
     if tf:
@@ -250,13 +261,15 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
     else:
         phi, plo = prod_term(xhi0, xlo0)
         acc0 = (phi, plo if df else jnp.zeros_like(phi))
+    zero_acc = tuple(jnp.zeros_like(a) for a in acc0)
+    accs0 = (acc0,) + (zero_acc,) * (K - 1)
 
     nb = _I32(1) << (r - _I32(u))            # 2**u-step blocks per chunk
 
     def block(b, carry):
         s8 = jnp.where((b & _I32(1)) == _I32(0),
                        jnp.float32(1), jnp.float32(-1))
-        xhi, xlo, *acc = static_steps(carry, s8)
+        xhi, xlo, accs = static_steps(carry, s8)
         # j = 2**u: column k = u + ctz(b+1), the only dynamic select
         q = b + _I32(1)
         c = _ctz(q)
@@ -272,17 +285,38 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
                            ck_hi * s_row,
                            ck_lo * s_row if full_df else None,
                            jnp.float32(1))
-        acc = acc_add(tuple(acc), prod_term(xhi, xlo), True)
-        return (xhi, xlo, *acc)
+        accs = list(accs)
+        slot = ((1 << u) - 1) % K
+        accs[slot] = acc_add(accs[slot], prod_term(xhi, xlo), True)
+        return xhi, xlo, tuple(accs)
 
     carry = lax.fori_loop(_I32(0), nb - _I32(1), block,
-                          (xhi0, xlo0, *acc0))
+                          (xhi0, xlo0, accs0))
     # final block: static steps only (m = 2**r belongs to the next
     # chunk); its mid-step parity is the parity of nb-1
     s8_last = jnp.where(((nb - _I32(1)) & _I32(1)) == _I32(0),
                         jnp.float32(1), jnp.float32(-1))
-    out = static_steps(carry, s8_last)
-    acc = out[2:]
+    _, _, accs = static_steps(carry, s8_last)
+
+    # merge the K accumulators (log-depth, compensated)
+    accs = list(accs)
+    while len(accs) > 1:
+        merged = []
+        for i in range(0, len(accs) - 1, 2):
+            a, b = accs[i], accs[i + 1]
+            if tf:
+                merged.append(tfm.tf_add(*a, *b))
+            elif df:
+                merged.append(df64.df_add(a[0], a[1], b[0], b[1]))
+            elif kahan:
+                hi, e = df64.two_sum(a[0], b[0])
+                merged.append((hi, a[1] + b[1] + e))
+            else:
+                merged.append((a[0] + b[0], a[1]))
+        if len(accs) % 2:
+            merged.append(accs[-1])
+        accs = merged
+    acc = accs[0]
 
     pad = jnp.zeros((8 - len(acc), L), dtype=jnp.float32)
     out_ref[:] = jnp.concatenate([*acc, pad], axis=0)

@@ -7,11 +7,10 @@ reproduces v2's canonical result line (main.cpp:1665):
 
     Result || <algo> | <file> | <permanent %.16e> in <seconds>
 
-Algorithm ids are accepted for compatibility and mapped onto the engine:
-the reference's p0-p4 dense-exact memory-placement variants are ONE TPU
-kernel here; p5/p6 (multi-device static/chunked) select a mesh over all
-visible devices; p7/p8/p14/p17 (SkipPer) select the sparse pruned path.
-Approximation ids: 1/3 Rasmussen, 2/4 scaling (3/4 = multi-device).
+Algorithm ids are accepted for compatibility and mapped onto the engine
+through the ONE v1+v2 table in core/flags.py:id_behavior (context-aware:
+-s/-a change an id's meaning, exactly like the reference dispatch).  The
+full id -> behavior table lives in PARITY.md.
 """
 
 from __future__ import annotations
@@ -73,32 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-_MULTI_IDS = {"5", "6", "17"}
-_HYBRID_IDS = {"6", "17"}   # reference multigpucpu_chunks variants
-_SKIPPER_IDS = {"7", "8", "14", "17"}
-_APPROX_NAMES = {"1": "rasmussen", "2": "scaling",
-                 "3": "rasmussen", "4": "scaling"}
-
-
 def flags_from_args(args) -> Flags:
-    algo = str(args.perman)
-    sparse = args.sparse
-    mesh_shape = None
-    hybrid = False
-    if args.approximation:
-        algo = _APPROX_NAMES.get(algo, algo)
-        if str(args.perman) in ("3", "4"):
-            # reference ids 3/4 = multigpucpu_chunks estimators: trials
-            # shard over the mesh, and -c adds the CPU trial worker
-            mesh_shape = (max(args.device, 2),)
-            hybrid = True
-    else:
-        if algo in _SKIPPER_IDS:
-            sparse = True
-        if algo in _HYBRID_IDS:
-            hybrid = True
-        if algo in _MULTI_IDS:
-            mesh_shape = (max(args.device, 2),)
+    # unified v1+v2 id table (core/flags.py:id_behavior): an id resolves
+    # to (sparse, hybrid, multi) in the context of -s / -a
+    from .core.flags import id_behavior
+    beh = id_behavior(args.perman, args.sparse, args.approximation)
+    algo = beh["algo"]
+    sparse = beh["sparse"]
+    hybrid = beh["hybrid"]
+    mesh_shape = (max(args.device, 2),) if beh["multi"] else None
     # reference hybrid semantics: -p6 -c adds the CPU worker to the chunk
     # pool while the accelerator keeps running (gpu stays on)
     return Flags(

@@ -102,3 +102,90 @@ class Flags:
     def resolved_device(self) -> str:
         # cpu AND gpu together = hybrid (both worker kinds participate)
         return "cpu" if (self.cpu and not self.gpu) else "tpu"
+
+
+# Named (non-numeric) algorithms the engine accepts directly.
+_NAMED_ALGOS = ("auto", "glynn", "rasmussen", "scaling", "multi",
+                "ryser_multi", "skipper")
+
+
+def id_behavior(perman_algo, sparse: bool, approximation: bool) -> dict:
+    """Unified v1+v2 algorithm-id table -> engine behavior.
+
+    The reference interprets ``-p`` ids IN CONTEXT of (sparse, approx):
+    v1 dispatch main.cu:20-248, v2 dispatch revised_perman/main.cpp:98-762.
+    All memory-placement variants of one algorithm collapse onto the one
+    TPU engine; what remains of an id is three booleans:
+
+      sparse — run the pruned (SkipPer-equivalent) path
+      hybrid — dynamic chunked TPU+CPU scheduling (multigpucpu_chunks)
+      multi  — shard over a device mesh (multigpu)
+
+    Exact, dense context (v1 main.cu:34-76 / v2 main.cpp:288-398):
+      0,1,2,3,4,21  xglobal/xlocal/xshared/coalescing/mshared -> single
+      5             multigpu                                  -> multi
+      6             v1 multigpucpu_chunks                     -> multi+hybrid
+                    (v2's 6 = manual 3/8,3/8,1/8,1/8 split — subsumed by
+                    dynamic pulling, gpu_exact_dense.cu:941-968)
+      7             v2 multigpucpu_chunks                     -> multi+hybrid
+      66            v1 manual distribution                    -> multi
+      8,14,17       SkipPer ids given without -s: imply sparse (below)
+
+    Exact, sparse context (v1 main.cu:106-155 / v2 main.cpp:399-524):
+      1,2,3,4       sparse memory variants   -> single, pruned
+      5             multigpu_sparse          -> multi
+      6             v1 multigpucpu_chunks_sparse -> multi+hybrid
+      7             v1 SkipPer (v2: hybrid chunks sparse = use 6/8) -> single
+      8             v1 multigpucpu_chunks_skipper -> multi+hybrid
+      14            v2 SkipPer                    -> single
+      17            v2 multigpucpu_chunks_skipper -> multi+hybrid
+      66            v1 manual distribution sparse -> multi
+      CPU-only sparse exact keeps v1/v2 CPU ids: 1 SparRyser, 2 SkipPer,
+      3 balanced SkipPer (algo.h:568/748/885) — all map to the native
+      engine's chunked-dynamic variants.
+
+    Approximation context (v1 main.cu:78-104,157-183; v2 :526-653,705-753):
+      1 rasmussen, 2 scaling, 3 rasmussen hybrid chunks (multi+hybrid),
+      4 scaling hybrid chunks (multi+hybrid).
+
+    Unknown numeric ids raise ValueError (the reference exits with "No
+    algorithm with specified setting").
+    """
+    algo = str(perman_algo)
+    out = {"sparse": sparse, "hybrid": False, "multi": False,
+           "algo": algo}
+    if algo in _NAMED_ALGOS:
+        out["multi"] = algo in ("multi", "ryser_multi")
+        out["sparse"] = sparse or algo == "skipper"
+        return out
+    if not algo.lstrip("-").isdigit():
+        raise ValueError(f"unknown algorithm '{perman_algo}'")
+    i = int(algo)
+    if approximation:
+        if i in (1, 3):
+            out["algo"] = "rasmussen"
+        elif i in (2, 4):
+            out["algo"] = "scaling"
+        else:
+            raise ValueError(
+                f"unknown approximation algorithm id {i} (valid: 1-4)")
+        out["multi"] = out["hybrid"] = i in (3, 4)
+        return out
+    if sparse:
+        if i not in (1, 2, 3, 4, 5, 6, 7, 8, 14, 17, 66):
+            raise ValueError(
+                f"unknown sparse exact algorithm id {i}")
+        out["multi"] = i in (5, 6, 8, 17, 66)
+        out["hybrid"] = i in (6, 8, 17)
+        return out
+    if i in (8, 14, 17):
+        # SkipPer ids without -s: enable the sparse path (the reference
+        # requires -s; we auto-enable for convenience)
+        out["sparse"] = True
+        out["multi"] = out["hybrid"] = i in (8, 17)
+        return out
+    if i not in (0, 1, 2, 3, 4, 5, 6, 7, 21, 66):
+        raise ValueError(f"unknown dense exact algorithm id {i}")
+    out["multi"] = i in (5, 6, 7, 66)
+    out["hybrid"] = i in (6, 7)
+    return out

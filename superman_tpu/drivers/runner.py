@@ -17,6 +17,16 @@ from ..core.result import Result
 
 
 def run(dense: DenseMatrix, flags: Flags) -> Result:
+    # resolve the reference algorithm id up front (ONE table for CLI and
+    # API, core/flags.py:id_behavior); unknown ids raise here, mirroring
+    # the reference's "No algorithm with specified setting" exit
+    from ..core.flags import id_behavior
+    beh = id_behavior(flags.perman_algo, flags.sparse, flags.approximation)
+    if beh["sparse"] and not flags.sparse:
+        flags.sparse, flags.dense = True, False
+    flags.hybrid = flags.hybrid or beh["hybrid"]
+    if flags.approximation:
+        flags.perman_algo = beh["algo"]
     # transform drivers wrap the core run (order matches the reference:
     # scaling may invoke compression which recurses back here)
     if flags.scaling_threshold != -1.0:

@@ -80,11 +80,17 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
         return Result(float(p), time.perf_counter() - t0,
                       algo_name="ryser_exact", iterations=1)
 
-    if calc == "quad":
+    if calc == "quad" or (calc == "tf96" and n < 19):
+        # quad: host long-double walk.  Small-n tf96 lands here too: the
+        # Pallas tier needs n >= 19 and the XLA fallback below would
+        # silently degrade it to f32 (found by the round-1 advisor); the
+        # long-double walk meets (exceeds) the tf96 ~1e-12 contract.
         from .oracle import perman64
         p = perman64(a, dtype=np.longdouble)
+        name = "ryser_quad_host" if calc == "quad" else "ryser_tf96_host"
         return Result(float(p), time.perf_counter() - t0,
-                      algo_name="ryser_quad_host", iterations=1 << (n - 1))
+                      algo_name=name, iterations=1 << (n - 1),
+                      meta={"calc": calc})
 
     if calc == "f64" or n < 19:
         from .ryser_xla import ryser_xla
@@ -121,10 +127,15 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
     from ..parallel.sharding import pad_ids, compute_partials
     num_shards = (int(np.prod(mesh.devices.shape))
                   if mesh is not None else 1)
+    # -e/grid_multip: the reference multiplies its CUDA grid dim
+    # (revised_perman/gpu_exact_dense.cu:902-905); the TPU analog is
+    # over-decomposing into grid_multip x more (shorter) chunk blocks
+    gm = max(1, int(getattr(flags, "grid_multip", 1)))
+    min_blocks = (32 if (flags.hybrid or flags.checkpoint_path) else 1) * gm
     plan = gray.make_plan(
         n, flags.lanes, flags.chunk_log2, df=df or tf,
         num_shards=num_shards,
-        min_blocks=32 if (flags.hybrid or flags.checkpoint_path) else 1,
+        min_blocks=min_blocks,
         sparse=flags.sparse and flags.skip_pruning)
     if chunk_ids is None and flags.sparse and flags.skip_pruning:
         from .pruning import live_chunks
@@ -140,10 +151,9 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
             chunk_ids = live_chunks(dense, flags, plan=plan)
         else:
             plan = gray.make_plan(
-                n, flags.lanes, flags.chunk_log2, df=df,
+                n, flags.lanes, flags.chunk_log2, df=df or tf,
                 num_shards=num_shards,
-                min_blocks=32 if (flags.hybrid
-                                  or flags.checkpoint_path) else 1,
+                min_blocks=min_blocks,
                 sparse=False)
     if chunk_ids is None:
         chunk_ids = np.arange(plan.num_chunks, dtype=np.int64)
@@ -269,5 +279,6 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
             "units": hybrid_stats.units_total,
             "tpu": hybrid_stats.units_tpu, "cpu": hybrid_stats.units_cpu,
             "resumed": hybrid_stats.units_resumed,
-            "retries": hybrid_stats.retries}
+            "retries": hybrid_stats.retries,
+            "handoffs": hybrid_stats.handoffs}
     return Result(p, dt, algo_name=name, iterations=iters, meta=meta)

@@ -41,13 +41,20 @@ def make_mesh(num_devices: Optional[int] = None,
 
 
 def mesh_for_flags(flags) -> Optional[Mesh]:
-    """None (single device) unless the flags ask for a multi-device run."""
+    """None (single device) unless the flags ask for a multi-device run.
+
+    Multi-device ids come from the ONE id table (core/flags.py:
+    id_behavior), so the CLI and the API agree on which ids get a mesh."""
     n_avail = len(jax.devices())
     if flags.mesh_shape is not None:
         want = int(np.prod(flags.mesh_shape))
         return make_mesh(min(want, n_avail)) if want > 1 else None
-    multi = str(flags.perman_algo) in (
-        "multi", "ryser_multi", "5", "6", "7", "8", "17")
+    from ..core.flags import id_behavior
+    try:
+        multi = id_behavior(flags.perman_algo, flags.sparse,
+                            flags.approximation)["multi"]
+    except ValueError:
+        multi = False     # unknown ids are rejected by the dispatcher
     if multi and n_avail > 1:
         return make_mesh(min(flags.gpu_num, n_avail) if flags.gpu_num > 0
                          else n_avail)

@@ -29,13 +29,28 @@ def host_slice(ids_blocks: np.ndarray, process_index: int,
     return ids_blocks[process_index::process_count]
 
 
-def combine_host_totals(local_total: float) -> float:
-    """Allgather each host's f64 partial total and sum deterministically
-    (ascending process index).  Single-process: identity."""
+def combine_host_totals(local_total):
+    """Allgather each host's partial total and sum deterministically
+    (ascending process index).  Single-process: identity.
+
+    The total travels as an (hi, lo) float64 pair — hi = f64(x),
+    lo = f64(x - hi) — so a long-double tf96 per-host sum keeps its extra
+    mantissa bits across the wire (a plain f64 coercion would round each
+    host's ~72-bit partial to 53 bits BEFORE the cross-host cancellation).
+    The combine happens in long double on every host, in process order, so
+    all hosts agree bitwise.  Returns np.longdouble when given one."""
     import jax
+    was_ld = isinstance(local_total, np.longdouble)
     if jax.process_count() == 1:
-        return float(local_total)
+        return local_total if was_ld else float(local_total)
+    ld = np.longdouble(local_total)
+    hi = np.float64(ld)
+    lo = np.float64(ld - np.longdouble(hi))
     from jax.experimental import multihost_utils
     totals = multihost_utils.process_allgather(
-        np.asarray([local_total], dtype=np.float64))
-    return float(np.asarray(totals, dtype=np.float64).ravel().sum())
+        np.asarray([hi, lo], dtype=np.float64))
+    pairs = np.asarray(totals, dtype=np.float64).reshape(-1, 2)
+    acc = np.longdouble(0.0)
+    for h, l in pairs:
+        acc += np.longdouble(h) + np.longdouble(l)
+    return acc if was_ld else float(acc)

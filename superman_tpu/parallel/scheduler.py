@@ -17,9 +17,12 @@ with thread `gpu_num` running the OpenMP CPU kernel.  TPU-native redesign:
   killed run resumes by replaying the journal and skipping finished units
   (the reference has no checkpointing; its chunked scheduler is already
   shaped for it — SURVEY.md §5);
-* a unit that raises is retried (up to 3 attempts) before the run is
-  failed with the offending unit id — failure detection the reference
-  lacks (it exit(1)s);
+* a unit that raises is retried (up to 3 attempts); a unit that exhausts
+  its retries on one worker kind is handed back to the queue for the
+  OTHER kind (a persistent TPU-side error still completes on the CPU
+  worker), and the run only fails once every participating kind has
+  rejected it — failure detection and recovery the reference lacks (it
+  exit(1)s);
 * the reference's manual static distribution (hard-coded 3/8,3/8,1/8,1/8
   fractions for a heterogeneous box,
   gpu_exact_dense.cu:941-968) is subsumed: dynamic pulling gives every
@@ -53,11 +56,24 @@ class HybridStats:
     units_cpu: int = 0
     units_resumed: int = 0
     retries: int = 0
+    handoffs: int = 0   # units that exhausted retries on one worker kind
+    #                     and completed on the other
 
 
-def _journal_key(a_s: np.ndarray, r: int) -> str:
+def _journal_key(a_s: np.ndarray, r: int, ids_blocks: np.ndarray,
+                 num_shards: int) -> str:
+    """Checkpoint identity.  The journal records (start, count) BLOCK
+    ranges whose meaning depends on the full ids_blocks layout (lanes,
+    pruned chunk list, shard padding), so the key must pin all of it:
+    resuming with the same (n, r) but different lanes / pruning flags /
+    mesh would otherwise replay partial sums against a differently-shaped
+    block array and silently produce a wrong permanent."""
     h = hashlib.sha256(np.ascontiguousarray(a_s).tobytes()).hexdigest()[:16]
-    return f"{a_s.shape[0]}:{r}:{h}"
+    hb = hashlib.sha256(
+        np.ascontiguousarray(ids_blocks, dtype=np.int32).tobytes()
+    ).hexdigest()[:16]
+    B, lanes = ids_blocks.shape
+    return f"{a_s.shape[0]}:{r}:{lanes}:{B}:{num_shards}:{h}:{hb}"
 
 
 class _Journal:
@@ -137,7 +153,8 @@ def compute_partials_hybrid(
     # for seconds in the tail)
     cpu_blocks = max(num_shards, unit_blocks // 8)
 
-    journal = _Journal(checkpoint_path, _journal_key(a_s, plan.r))
+    journal = _Journal(checkpoint_path,
+                       _journal_key(a_s, plan.r, ids_blocks, num_shards))
     covered = np.zeros(B, dtype=bool)
     resumed_total = 0.0
     for (start, count), value in journal.done.items():
@@ -150,22 +167,45 @@ def compute_partials_hybrid(
     pos = [0]
     results: dict[int, float] = {}
     failures: list[tuple[int, str, BaseException]] = []
+    # blocks a worker KIND has exhausted its retries on; the unit returns
+    # to the queue for the OTHER kind (e.g. a persistent TPU-side error
+    # still completes on the CPU worker) and the run only fails if every
+    # participating kind rejected it
+    banned = {"tpu": np.zeros(B, dtype=bool),
+              "cpu": np.zeros(B, dtype=bool)}
+    alive = {"tpu": False, "cpu": False}
 
-    def pull(k: int) -> Optional[tuple[int, int]]:
-        """Next run of up to k uncovered contiguous blocks."""
+    def pull(k: int, kind: str) -> Optional[tuple[int, int]]:
+        """Next run of up to k uncovered contiguous blocks this worker
+        kind is allowed to take."""
+        ban = banned[kind]
         with lock:
+            # pos[0] is a kind-independent lower bound on the first
+            # uncovered block; advance it past fully-covered prefix
             p = pos[0]
             while p < B and covered[p]:
                 p += 1
+            pos[0] = p
+            while p < B and (covered[p] or ban[p]):
+                p += 1
             if p >= B:
-                pos[0] = B
                 return None
             start = p
-            while p < B and not covered[p] and p - start < k:
+            while p < B and not covered[p] and not ban[p] \
+                    and p - start < k:
                 p += 1
             covered[start:p] = True        # claimed
-            pos[0] = p
             return start, p
+
+    def release(start: int, end: int, kind: str,
+                err: BaseException) -> None:
+        """Exhausted retries on `kind`: hand the unit back to the queue,
+        banned for this kind only."""
+        with lock:
+            covered[start:end] = False
+            banned[kind][start:end] = True
+            failures.append((start, kind, err))
+            pos[0] = min(pos[0], start)
 
     def run_tpu_unit(start: int, end: int) -> float:
         blk = ids_blocks[start:end]
@@ -189,10 +229,30 @@ def compute_partials_hybrid(
         return perman_dense_chunks(a_s, ids, plan.r, threads)
 
     def worker(kind: str, fn, k: int):
+        # alive[kind] was set True before the thread started (setting it
+        # here would race the other worker's liveness check)
+        other = "cpu" if kind == "tpu" else "tpu"
+        try:
+            _worker_loop(kind, other, fn, k)
+        finally:
+            alive[kind] = False
+
+    def _worker_loop(kind: str, other: str, fn, k: int):
         while True:
-            item = pull(k)
+            item = pull(k, kind)
             if item is None:
-                return
+                with lock:
+                    uncov = ~covered
+                    if not uncov.any() or not alive[other]:
+                        return
+                    # blocks banned for BOTH kinds can never complete;
+                    # don't wait on those (the final check reports them)
+                    if np.all(banned["tpu"][uncov] & banned["cpu"][uncov]):
+                        return
+                # the other worker is still running and may hand units
+                # back to this kind; wait for it
+                time.sleep(0.02)
+                continue
             start, end = item
             t0 = time.perf_counter()
             value = None
@@ -207,9 +267,13 @@ def compute_partials_hybrid(
                               f"(attempt {attempt + 1}): {e}", level=1)
                     err = e
             if value is None:
-                with lock:
-                    failures.append((start, kind, err))
-                return
+                # hand the unit back for the other worker kind; this
+                # worker keeps pulling the rest of the queue
+                trace.log(f"blocks [{start},{end}) exhausted retries on "
+                          f"{kind}; returned to queue for {other}",
+                          level=1)
+                release(start, end, kind, err)
+                continue
             dt = time.perf_counter() - t0
             with lock:
                 results[start] = value
@@ -218,6 +282,8 @@ def compute_partials_hybrid(
                     stats.units_tpu += 1
                 else:
                     stats.units_cpu += 1
+                if banned[other][start:end].any():
+                    stats.handoffs += 1
                 journal.record(start, end - start, value, kind, dt)
             trace.log(f"blocks [{start},{end}) DONE by {kind} "
                       f"in {dt:.4f}s", level=2)
@@ -225,28 +291,31 @@ def compute_partials_hybrid(
     tpu_thread = threading.Thread(
         target=worker, args=("tpu", run_tpu_unit, unit_blocks),
         name="hybrid-tpu")
-    threads_list = [tpu_thread]
+    threads_list = [("tpu", tpu_thread)]
     if cpu_helper:
         from ..bindings.native import native_available
         if native_available():
-            threads_list.append(threading.Thread(
+            threads_list.append(("cpu", threading.Thread(
                 target=worker, args=("cpu", run_cpu_unit, cpu_blocks),
-                name="hybrid-cpu"))
+                name="hybrid-cpu")))
         else:
             trace.log("hybrid: native CPU engine unavailable, "
                       "running TPU-only", level=1)
-    for t in threads_list:
+    for kind, _ in threads_list:
+        alive[kind] = True
+    for _, t in threads_list:
         t.start()
-    for t in threads_list:
+    for _, t in threads_list:
         t.join()
     journal.close()
 
-    if failures:
-        start, kind, err = failures[0]
-        raise RuntimeError(
-            f"hybrid scheduler: blocks at {start} failed on {kind} worker "
-            f"after retries: {err}") from err
-    if pos[0] < B or (not failures and not covered.all()):
+    if not covered.all():
+        # blocks rejected by every participating worker kind
+        if failures:
+            start, kind, err = failures[0]
+            raise RuntimeError(
+                f"hybrid scheduler: blocks at {start} failed on {kind} "
+                f"worker after retries: {err}") from err
         raise RuntimeError("hybrid scheduler: blocks never completed")
     total = resumed_total + float(np.sum(np.fromiter(
         (results[s] for s in sorted(results)), dtype=np.float64)))

@@ -80,9 +80,11 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
     init_df = df and not exact_storage
     use_u16 = bool(r >= 5 and not interpret)
     full_df = df and not exact_storage
-    # full-df bodies are the largest (pair-product trees); cap their
-    # unroll to keep Mosaic compile time reasonable
-    u = min(4 if full_df else (5 if df else 7), r - 1) if use_u16 else 4
+    # full-df and tf bodies are the largest (pair/triple-product trees);
+    # cap their unroll to keep Mosaic compile time reasonable (must match
+    # the single-device formula in ryser_pallas.ryser_partials)
+    u = min(4 if (full_df or tf) else (5 if df else 7), r - 1) \
+        if use_u16 else 4
 
     args = (jnp.asarray(ids_blocks), jnp.asarray(x0_pair),
             jnp.asarray(cols_pair), jnp.asarray(colst_hi),

@@ -132,3 +132,51 @@ def test_hybrid_mesh_checkpoint_combo(rng, tmp_path):
                          mesh_shape=(4,), checkpoint_path=ck)
     assert again.meta["hybrid"]["resumed"] >= 1
     assert again.permanent == pytest.approx(got.permanent, rel=1e-12)
+
+
+def test_journal_key_pins_layout(rng, tmp_path):
+    """A journal written under one block layout must NOT be replayed under
+    another (round-1 advisor finding: same (n, r) with different lanes
+    reinterprets (start,count) ranges and silently corrupts the result)."""
+    a = random_int_matrix(rng, 21, 0.5, vmax=2)
+    ck = str(tmp_path / "layout.jsonl")
+    first = sp.permanent(a, calc="df64", chunk_log2=6, lanes=256,
+                         hybrid=True, checkpoint_path=ck)
+    # same n and chunk_log2, different lanes -> different layout
+    other = sp.permanent(a, calc="df64", chunk_log2=6, lanes=128,
+                         hybrid=True, checkpoint_path=ck)
+    assert other.meta["hybrid"]["resumed"] == 0
+    assert other.permanent == pytest.approx(first.permanent, rel=1e-12)
+
+
+def test_failed_unit_handoff_to_cpu(rng, monkeypatch):
+    """A unit that persistently fails on the TPU worker is handed back to
+    the queue and completed by the CPU worker; the run still succeeds."""
+    pytest.importorskip("ctypes")
+    from superman_tpu.bindings.native import native_available
+    if not native_available():
+        pytest.skip("native engine unavailable")
+
+    a = random_int_matrix(rng, 21, 0.5, vmax=2)
+    ref = sp.permanent(a, calc="df64", chunk_log2=6, lanes=256)
+
+    from superman_tpu.parallel.sharding import compute_partials as real_cp
+    state = {"first_start": None}
+
+    def poisoned(blk, *args, **kw):
+        # permanently fail exactly one unit (identified by its first
+        # chunk id) on the TPU side
+        first = int(np.asarray(blk).ravel()[0])
+        if state["first_start"] is None:
+            state["first_start"] = first
+        if first == state["first_start"]:
+            raise RuntimeError("injected persistent TPU fault")
+        return real_cp(blk, *args, **kw)
+
+    monkeypatch.setattr("superman_tpu.parallel.sharding.compute_partials",
+                        poisoned)
+    res = sp.permanent(a, calc="df64", chunk_log2=6, lanes=256,
+                       hybrid=True, cpu=True, gpu=True)
+    assert res.permanent == pytest.approx(ref.permanent, rel=1e-12)
+    assert res.meta["hybrid"]["handoffs"] >= 1
+    assert res.meta["hybrid"]["cpu"] >= 1

@@ -61,3 +61,15 @@ def test_tf96_glynn_cross_agreement(rng):
     gl = sp.permanent(a, calc="tf96", chunk_log2=6, lanes=128,
                       perman_algo="glynn")
     assert gl.permanent == pytest.approx(ry.permanent, rel=1e-13)
+
+
+def test_tf96_small_n_precision(rng):
+    """Small n (< 19, below the Pallas tier): tf96 must NOT degrade to the
+    f32 XLA fallback (round-1 advisor finding) — it routes to the host
+    long-double walk and keeps (exceeds) the ~1e-12 tier contract."""
+    a = random_int_matrix(rng, 12, 0.6, vmax=9)
+    np.fill_diagonal(a, rng.integers(1, 10, 12))
+    want = perman_brute(a)
+    got = sp.permanent(a, calc="tf96")
+    assert got.permanent == pytest.approx(float(want), rel=1e-14)
+    assert got.algo_name == "ryser_tf96_host"

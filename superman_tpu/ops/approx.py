@@ -214,48 +214,62 @@ def approximate(dense: DenseMatrix, flags) -> Result:
 
     # hybrid trial chunking (reference _multigpucpu_chunks estimators,
     # gpu_approximation_dense.cu:411-524, cpu_chunk = 50000): a CPU
-    # thread consumes trial chunks through the native engine while the
-    # accelerator loop below consumes the rest; the estimate is
-    # sum(partials) / trials-actually-run, like the reference.
+    # thread and the accelerator loop below pull trial allocations from
+    # ONE shared remaining-trials budget (mirroring the reference's
+    # shared chunk counter), so `-x N` executes exactly N trials total —
+    # an unbounded CPU helper used to inflate the count (round-1 verdict).
+    import threading
+    batch = -(-batch // nshards) * nshards
+    budget = {"left": trials}
+    budget_lock = threading.Lock()
+
+    def take(k: int) -> int:
+        with budget_lock:
+            t = min(k, budget["left"])
+            budget["left"] -= t
+            return t
+
     cpu_state = {"sum": 0.0, "trials": 0, "zeros": 0}
     cpu_thread = None
     if getattr(flags, "hybrid", False) and flags.cpu:
         from ..bindings.native import native_available, load
         if native_available():
             import ctypes
-            import threading
             lib = load()
             an = np.ascontiguousarray(
                 (a != 0).astype(np.float64) if algo == "rasmussen" else a)
             cpu_chunk = 50000
-            stop = {"flag": False}
 
             def cpu_worker():
                 seed = int(flags.seed) + 777
-                while not stop["flag"]:
+                while True:
+                    t = take(cpu_chunk)
+                    if t == 0:
+                        return
                     z = ctypes.c_double(0.0)
                     if algo == "rasmussen":
-                        m = lib.sup_rasmussen(an, n, cpu_chunk,
+                        m = lib.sup_rasmussen(an, n, t,
                                               int(flags.threads), seed,
                                               ctypes.byref(z))
                     else:
                         m = lib.sup_approx_scaling(
-                            an, n, cpu_chunk, int(flags.scale_intervals),
+                            an, n, t, int(flags.scale_intervals),
                             int(flags.scale_times), int(flags.threads),
                             seed, ctypes.byref(z))
-                    cpu_state["sum"] += m * cpu_chunk
-                    cpu_state["trials"] += cpu_chunk
+                    cpu_state["sum"] += m * t
+                    cpu_state["trials"] += t
                     cpu_state["zeros"] += int(z.value)
                     seed += 1
 
             cpu_thread = threading.Thread(target=cpu_worker,
                                           name="approx-cpu")
             cpu_thread.start()
-    batch = -(-batch // nshards) * nshards
-    while done < trials:
+    while True:
         # always launch a full batch (ONE compiled shape); count only the
-        # first b trials of the last one
-        b = min(batch, trials - done)
+        # first b trials of it
+        b = take(batch)
+        if b == 0:
+            break
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, batch)
         if nshards > 1:
@@ -273,7 +287,6 @@ def approximate(dense: DenseMatrix, flags) -> Result:
         zeros += int(dead.sum())
         done += b
     if cpu_thread is not None:
-        stop["flag"] = True
         cpu_thread.join()
         total += cpu_state["sum"]
         done += cpu_state["trials"]

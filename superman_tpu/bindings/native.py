@@ -32,9 +32,9 @@ def load() -> ctypes.CDLL:
         lib.sup_perman_dense.restype = D
         lib.sup_perman_dense.argtypes = [dp, I, I, I]
         lib.sup_perman_sparse.restype = D
-        lib.sup_perman_sparse.argtypes = [dp, I, I]
+        lib.sup_perman_sparse.argtypes = [dp, I, I, I]
         lib.sup_perman_skipper.restype = D
-        lib.sup_perman_skipper.argtypes = [dp, I, I]
+        lib.sup_perman_skipper.argtypes = [dp, I, I, I]
         ip64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         lib.sup_perman_dense_chunks.restype = D
         lib.sup_perman_dense_chunks.argtypes = [dp, I, ip64, LL, I, I]
@@ -104,18 +104,21 @@ def perman_native(dense: DenseMatrix, flags) -> Result:
             name = "cpu_approx_scaling"
         iters = int(flags.number_of_times)
     elif flags.sparse:
+        cq = 1 if flags.resolved_calc() == "quad" else 0
         if flags.preprocessing == 2 or str(flags.perman_algo) in (
                 "2", "3", "skipper"):
-            p = lib.sup_perman_skipper(a, n, nt)
+            p = lib.sup_perman_skipper(a, n, nt, cq)
             name = "cpu_skipper"
         else:
-            p = lib.sup_perman_sparse(a, n, nt)
+            p = lib.sup_perman_sparse(a, n, nt, cq)
             name = "cpu_sparyser"
+        if cq:
+            name += "_quad"
         iters = 1 << (n - 1)
     else:
-        p = lib.sup_perman_dense(a, n, nt,
-                                 1 if flags.calculation_quad_precision else 0)
-        name = "cpu_ryser"
+        cq = 1 if flags.resolved_calc() == "quad" else 0
+        p = lib.sup_perman_dense(a, n, nt, cq)
+        name = "cpu_ryser_quad" if cq else "cpu_ryser"
         iters = 1 << (n - 1)
     dt = time.perf_counter() - t0
     return Result(float(p), dt, algo_name=name, zeros=int(zeros.value),

@@ -43,14 +43,27 @@ def run_algo(dense: DenseMatrix, flags: Flags) -> Result:
         from ..ops.approx import approximate
         return approximate(dense, flags)
 
-    if flags.cpu and not flags.gpu:
+    # quad calc has no accelerator tier (the reference's -q runs its
+    # templated __float128 CPU algorithms, revised main.cpp:141-167);
+    # route it to the parallel native engine whenever one is available —
+    # the single-threaded host long-double walk is a last resort only
+    quad = flags.resolved_calc() == "quad"
+    native_ok = True
+    if quad and np.asarray(dense.mat).dtype == np.longdouble:
+        a = np.asarray(dense.mat)
+        # -v long-double storage: the native ABI takes f64 matrices, so
+        # only route through it when the values are exactly f64;
+        # otherwise the host long-double walk keeps the storage bits
+        native_ok = bool(np.all(
+            a.astype(np.float64).astype(np.longdouble) == a))
+    if ((flags.cpu and not flags.gpu) or quad) and native_ok:
         from ..bindings.native import native_available, perman_native
         from ..prep.orderings import apply_preprocessing
-        if native_available() and flags.resolved_calc() != "quad":
+        if native_available():
             dm = apply_preprocessing(dense, flags.preprocessing) \
                 if flags.sparse else dense
             return perman_native(dm, flags)
-        # no compiler (or quad parity requested): host longdouble/XLA path
+        # no compiler: host longdouble/XLA path
 
     # exact accelerator path
     from ..prep.orderings import apply_preprocessing

@@ -108,10 +108,19 @@ extern "C" {
 
 // --------------------------------------------------------- exact: dense
 
-// Chunked-dynamic dense Gray-code Ryser.  calc: 0 = double, 1 = long double.
-double sup_perman_dense(const double* a, int n, int threads, int calc_quad) {
-  if (n == 0) return 1.0;
-  if (n == 1) return a[0];
+}  // extern "C" (templates below cannot have C linkage)
+
+namespace {
+
+// Chunked-dynamic dense Gray-code Ryser walk, templated on the calc type
+// (parity: the reference's <class C calc, class S storage> templating,
+// revised_perman/cpu_algos.hpp:762 / main.cpp:141-167).  X is the
+// x-vector/product type, ACC the per-thread accumulator type; the
+// (double, long double) instantiation is bit-identical to the historical
+// untemplated engine, and (__float128, __float128) is the parallel
+// quad-precision path (113-bit mantissa, beyond x87 long double).
+template <class X, class ACC>
+double perman_dense_walk(const double* a, int n, int threads) {
   threads = pick_threads(threads);
   const uint64_t total = 1ull << (n - 1);
   int r = n - 1;                       // chunk log2
@@ -122,7 +131,7 @@ double sup_perman_dense(const double* a, int n, int threads, int calc_quad) {
   const uint64_t csz = 1ull << r;
 
   std::atomic<uint64_t> next{0};
-  std::vector<long double> partial(threads, 0.0L);
+  std::vector<ACC> partial(threads, (ACC)0);
 
 #pragma omp parallel num_threads(threads)
   {
@@ -131,37 +140,51 @@ double sup_perman_dense(const double* a, int n, int threads, int calc_quad) {
 #else
     int tid = 0;
 #endif
-    std::vector<double> x0(n), x(n);
+    std::vector<X> x0(n), x(n);
     init_x(a, n, x0.data());
-    long double sum = 0.0L;
+    ACC sum = (ACC)0;
     uint64_t c;
     while ((c = next.fetch_add(1, std::memory_order_relaxed)) < nchunks) {
       const uint64_t base = c << r;
       x_at(a, n, x0.data(), base, x.data());
-      double prod = 1.0;
+      X prod = (X)1;
       for (int i = 0; i < n; i++) prod *= x[i];
-      long double local = prod;        // m = 0 term, base even -> +
+      ACC local = (ACC)prod;           // m = 0 term, base even -> +
       uint64_t gray = base ^ (base >> 1);
       for (uint64_t m = 1; m < csz; m++) {
         const uint64_t i = base + m;
         const int k = __builtin_ctzll(i);
         gray ^= (1ull << k);
-        const double s = ((gray >> k) & 1ull) ? 1.0 : -1.0;
-        prod = 1.0L;
+        const X s = ((gray >> k) & 1ull) ? (X)1 : (X)-1;
+        prod = (X)1;
         for (int j = 0; j < n; j++) {
-          x[j] += s * a[j * n + k];
+          x[j] += s * (X)a[j * n + k];
           prod *= x[j];
         }
-        local += (i & 1ull) ? -prod : prod;
+        local += (i & 1ull) ? (ACC)-prod : (ACC)prod;
       }
       sum += local;
     }
     partial[tid] = sum;
   }
-  long double p = 0.0L;
+  ACC p = (ACC)0;
   for (auto v : partial) p += v;
-  (void)calc_quad;
-  return (double)((long double)(4 * (n & 1) - 2) * p);
+  return (double)((ACC)(4 * (n & 1) - 2) * p);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Chunked-dynamic dense Gray-code Ryser.
+// calc_quad: 0 = double walk + long-double accumulate (reference default
+// parity), 1 = full __float128 walk (reference -q, main.cpp:141-144).
+double sup_perman_dense(const double* a, int n, int threads, int calc_quad) {
+  if (n == 0) return 1.0;
+  if (n == 1) return a[0];
+  if (calc_quad)
+    return perman_dense_walk<__float128, __float128>(a, n, threads);
+  return perman_dense_walk<double, long double>(a, n, threads);
 }
 
 // Raw partial sum over an explicit list of aligned Gray chunks of size
@@ -223,8 +246,12 @@ double sup_perman_dense_chunks(const double* a, int n,
 
 // SpaRyser: incremental x updates through the column structure with
 // divide-out/multiply-in running product and zero counting.
-double sup_perman_sparse(const double* a, int n, int threads) {
-  if (n <= 1) return n ? a[0] : 1.0;
+}  // extern "C"
+
+namespace {
+
+template <class X, class ACC>
+double perman_sparse_walk(const double* a, int n, int threads) {
   threads = pick_threads(threads);
   Sparse s = to_sparse(a, n);
   const uint64_t total = 1ull << (n - 1);
@@ -234,7 +261,7 @@ double sup_perman_sparse(const double* a, int n, int threads) {
   const uint64_t nchunks = total >> r, csz = 1ull << r;
 
   std::atomic<uint64_t> next{0};
-  std::vector<long double> partial(threads, 0.0L);
+  std::vector<ACC> partial(threads, (ACC)0);
 
 #pragma omp parallel num_threads(threads)
   {
@@ -243,49 +270,65 @@ double sup_perman_sparse(const double* a, int n, int threads) {
 #else
     int tid = 0;
 #endif
-    std::vector<double> x0(n), x(n);
+    std::vector<X> x0(n), x(n);
     init_x(a, n, x0.data());
-    long double sum = 0.0L;
+    ACC sum = (ACC)0;
     uint64_t c;
     while ((c = next.fetch_add(1, std::memory_order_relaxed)) < nchunks) {
       const uint64_t base = c << r;
       x_at(a, n, x0.data(), base, x.data());
-      double prod = 1.0;
+      X prod = (X)1;
       int nzero = 0;
       for (int i = 0; i < n; i++) {
-        if (x[i] == 0.0) nzero++; else prod *= x[i];
+        if (x[i] == (X)0) nzero++; else prod *= x[i];
       }
-      long double local = (nzero == 0) ? prod : 0.0L;
+      ACC local = (nzero == 0) ? (ACC)prod : (ACC)0;
       uint64_t gray = base ^ (base >> 1);
       for (uint64_t m = 1; m < csz; m++) {
         const uint64_t i = base + m;
         const int k = __builtin_ctzll(i);
         gray ^= (1ull << k);
-        const double sgn = ((gray >> k) & 1ull) ? 1.0 : -1.0;
+        const X sgn = ((gray >> k) & 1ull) ? (X)1 : (X)-1;
         for (int p = s.cptr[k]; p < s.cptr[k + 1]; p++) {
           const int row = s.crow[p];
-          const double old = x[row];
-          const double nu = old + sgn * s.cval[p];
-          if (old == 0.0) nzero--; else prod /= old;
-          if (nu == 0.0) nzero++; else prod *= nu;
+          const X old = x[row];
+          const X nu = old + sgn * (X)s.cval[p];
+          if (old == (X)0) nzero--; else prod /= old;
+          if (nu == (X)0) nzero++; else prod *= nu;
           x[row] = nu;
         }
-        if (nzero == 0) local += (i & 1ull) ? -prod : prod;
+        if (nzero == 0) local += (i & 1ull) ? (ACC)-prod : (ACC)prod;
       }
       sum += local;
     }
     partial[tid] = sum;
   }
-  long double p = 0.0L;
+  ACC p = (ACC)0;
   for (auto v : partial) p += v;
-  return (double)((long double)(4 * (n & 1) - 2) * p);
+  return (double)((ACC)(4 * (n & 1) - 2) * p);
+}
+
+}  // namespace
+
+extern "C" {
+
+double sup_perman_sparse(const double* a, int n, int threads,
+                         int calc_quad) {
+  if (n <= 1) return n ? a[0] : 1.0;
+  if (calc_quad)
+    return perman_sparse_walk<__float128, __float128>(a, n, threads);
+  return perman_sparse_walk<double, long double>(a, n, threads);
 }
 
 // SkipPer: like sparse, but when the product is pinned at zero by a zero
 // row, jump directly to the next index where any column adjacent to that
 // row flips (gray bit c of index i flips at i ≡ 2^c (mod 2^(c+1))).
-double sup_perman_skipper(const double* a, int n, int threads) {
-  if (n <= 1) return n ? a[0] : 1.0;
+}  // extern "C"
+
+namespace {
+
+template <class X, class ACC>
+double perman_skipper_walk(const double* a, int n, int threads) {
   threads = pick_threads(threads);
   Sparse s = to_sparse(a, n);
   const uint64_t total = 1ull << (n - 1);
@@ -293,7 +336,7 @@ double sup_perman_skipper(const double* a, int n, int threads) {
   const uint64_t csz = (total + nchunks - 1) / nchunks;
 
   std::atomic<uint64_t> nextc{0};
-  std::vector<long double> partial(threads, 0.0L);
+  std::vector<ACC> partial(threads, (ACC)0);
 
 #pragma omp parallel num_threads(threads)
   {
@@ -302,39 +345,36 @@ double sup_perman_skipper(const double* a, int n, int threads) {
 #else
     int tid = 0;
 #endif
-    std::vector<double> x0(n), x(n);
+    std::vector<X> x0(n), x(n);
     init_x(a, n, x0.data());
-    long double sum = 0.0L;
+    ACC sum = (ACC)0;
     uint64_t c;
     while ((c = nextc.fetch_add(1, std::memory_order_relaxed)) < nchunks) {
       uint64_t i = c * csz;
       const uint64_t end = std::min(total, i + csz);
       if (i >= end) continue;
       uint64_t prev_gray = 0;
-      std::memcpy(x.data(), x0.data(), sizeof(double) * n);
-      long double local = 0.0L;
-      bool first = true;
+      std::memcpy(x.data(), x0.data(), sizeof(X) * n);
+      ACC local = (ACC)0;
       while (i < end) {
         const uint64_t gray = i ^ (i >> 1);
         uint64_t diff = prev_gray ^ gray;
         while (diff) {
           const int k = __builtin_ctzll(diff);
           diff &= diff - 1;
-          const double sgn = ((gray >> k) & 1ull) ? 1.0 : -1.0;
+          const X sgn = ((gray >> k) & 1ull) ? (X)1 : (X)-1;
           for (int p = s.cptr[k]; p < s.cptr[k + 1]; p++)
-            x[s.crow[p]] += sgn * (long double)s.cval[p];
+            x[s.crow[p]] += sgn * (X)s.cval[p];
         }
         prev_gray = gray;
-        (void)first;
-        first = false;
-        double prod = 1.0;
+        X prod = (X)1;
         int zrow = -1;
         for (int j = n - 1; j >= 0; j--) {
           prod *= x[j];
-          if (x[j] == 0.0L) { zrow = j; break; }
+          if (x[j] == (X)0) { zrow = j; break; }
         }
         if (zrow < 0) {
-          local += (i & 1ull) ? -prod : prod;
+          local += (i & 1ull) ? (ACC)-prod : (ACC)prod;
           i++;
         } else {
           // next index where a column adjacent to zrow flips
@@ -355,9 +395,21 @@ double sup_perman_skipper(const double* a, int n, int threads) {
     }
     partial[tid] = sum;
   }
-  long double p = 0.0L;
+  ACC p = (ACC)0;
   for (auto v : partial) p += v;
-  return (double)((long double)(4 * (n & 1) - 2) * p);
+  return (double)((ACC)(4 * (n & 1) - 2) * p);
+}
+
+}  // namespace
+
+extern "C" {
+
+double sup_perman_skipper(const double* a, int n, int threads,
+                          int calc_quad) {
+  if (n <= 1) return n ? a[0] : 1.0;
+  if (calc_quad)
+    return perman_skipper_walk<__float128, __float128>(a, n, threads);
+  return perman_skipper_walk<double, long double>(a, n, threads);
 }
 
 // -------------------------------------------------------- approximation
@@ -582,10 +634,10 @@ static double dispatch_algo(std::vector<double>& a, int n, int algo, int nt,
     case 1: return sup_rasmussen(a.data(), n, x, nt, 12345, &zeros);
     case 2:
     case 3: return sup_approx_scaling(a.data(), n, x, y, z, nt, 12345, &zeros);
-    case 4: return sup_perman_sparse(a.data(), n, nt);
+    case 4: return sup_perman_sparse(a.data(), n, nt, 0);
     case 5: return sup_perman_dense(a.data(), n, nt, 0);
     case 6:
-    case 7: return sup_perman_skipper(a.data(), n, nt);
+    case 7: return sup_perman_skipper(a.data(), n, nt, 0);
     case 8: return sup_perman_dense(a.data(), n, 1, 0);
     default: return 0.0;
   }

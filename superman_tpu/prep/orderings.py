@@ -130,6 +130,55 @@ def rcm_order(a: np.ndarray) -> np.ndarray:
     return np.asarray(order[::-1], dtype=np.int64)
 
 
+def prune_order(a: np.ndarray, r: int, rng_seeds=(0, 1, 2)) -> np.ndarray:
+    """Column permutation that maximizes chunk-prunable rows.
+
+    A row is chunk-constant (and hence can kill whole chunks, see
+    ops/pruning.py) iff its support lies entirely in the n-r "outer"
+    columns r..n-1.  Greedy set packing: repeatedly adopt the row that
+    needs the fewest new outer columns, while the outer budget lasts.
+    Ties are broken differently per candidate; the caller evaluates the
+    true dead fraction per candidate and keeps the best (the greedy
+    objective — count of constant rows — is only a proxy: a constant
+    row helps only if some signed subset of its values hits zero).
+
+    The reference's orderings (SortOrder/SkipOrder, util.h:553-684)
+    optimize for per-thread skip length; this one optimizes for the
+    TPU engine's chunk-granular pruning instead.
+
+    Returns the best candidate column permutations, one per seed, as a
+    list of arrays (inner columns first).
+    """
+    n = a.shape[0]
+    nz = np.asarray(a) != 0
+    budget = n - r
+    supports = [frozenset(np.nonzero(nz[i])[0]) for i in range(n)]
+    perms = []
+    for seed in rng_seeds:
+        rnd = np.random.default_rng(seed)
+        order = rnd.permutation(n) if seed else np.argsort(
+            [len(s) for s in supports], kind="stable")
+        outer: set = set()
+        covered: set = set()
+        while True:
+            best, best_need = None, None
+            for i in order:
+                if i in covered:
+                    continue
+                need = len(supports[i] - outer)
+                if len(outer) + need <= budget and (
+                        best_need is None or need < best_need):
+                    best, best_need = i, need
+            if best is None:
+                break
+            outer |= supports[best]
+            covered.add(best)
+        out_cols = sorted(outer)
+        inner = [c for c in range(n) if c not in outer]
+        perms.append(np.asarray(inner + out_cols, dtype=np.int64))
+    return perms
+
+
 # preprocessing selector: reference -r {0,1,2} plus the sparyser ordering
 # menu (sortWRowDeg/sortWColDeg/firstSeenRow/sortRCM/bfsOrder/sortMinNew —
 # sortMinNew is exactly skip_order's greedy)

@@ -53,3 +53,53 @@ def test_simulated_multihost_sum_matches(rng):
 
 def test_combine_host_totals_single_process():
     assert combine_host_totals(3.25) == 3.25
+
+
+def test_two_real_processes_bitwise(tmp_path):
+    """VERDICT item: spawn TWO actual processes with a distributed
+    coordinator; each runs the engine on its host slice
+    (jax.process_count() == 2 drives ryser.py's host_slice branch and
+    combine_host_totals' allgather for real).  The combined result must
+    be bitwise equal ACROSS HOSTS; vs the single-process run the block
+    sums are regrouped, so the documented cross-grouping tolerance
+    (1e-12) applies."""
+    import subprocess
+    import sys
+
+    from superman_tpu.core.matrix import DenseMatrix
+    from superman_tpu.io.triplet import write_triplet
+
+    rng = np.random.default_rng(77)
+    a = (rng.random((21, 21)) < 0.5) * rng.integers(1, 3, (21, 21))
+    np.fill_diagonal(a, 1)
+    mpath = str(tmp_path / "m21.txt")
+    write_triplet(mpath, DenseMatrix(a, "int"))
+
+    script = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="127.0.0.1:{port}",
+                           num_processes=2, process_id=int(sys.argv[1]))
+import superman_tpu as sp
+r = sp.permanent("{path}", calc="df64", chunk_log2=6, lanes=256)
+print("RESULT", repr(r.permanent), jax.process_count())
+"""
+    port = 23987
+    code = script.format(port=port, path=mpath)
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err[-2000:]
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
+        assert line, out + err[-500:]
+        outs.append(line[0].split())
+    assert outs[0][2] == outs[1][2] == "2"     # really 2 processes
+    assert outs[0][1] == outs[1][1]            # bitwise-identical totals
+    single = sp.permanent(mpath, calc="df64", chunk_log2=6, lanes=256)
+    import pytest
+    assert float(outs[0][1]) == pytest.approx(single.permanent, rel=1e-12)

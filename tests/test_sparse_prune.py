@@ -1,0 +1,134 @@
+"""Sparse engine: chunk pruning, prune-aware ordering, row factoring.
+
+The TPU-side SkipPer equivalents (SURVEY §2 items 20-21): liveness is
+validated against a direct per-chunk evaluation, the factored walk
+against exact brute force.  Wall-clock superiority over the dense walk
+is hardware evidence (BENCH_r*.json sparse field; the on-device
+reduction path needs the real unrolled kernel, which interpret mode
+can't run) — CI asserts the *work reduction* instead, which is
+deterministic: dead fraction and factored-row count on reference suite
+matrices."""
+
+import numpy as np
+import pytest
+
+import superman_tpu as sp
+from superman_tpu.core.matrix import DenseMatrix
+from superman_tpu.ops import gray
+from superman_tpu.ops.oracle import perman_brute
+from superman_tpu.ops.pruning import (chunk_factors, const_rows,
+                                      live_chunks, plan_sparse)
+from superman_tpu.prep.orderings import prune_order
+from tests.conftest import random_int_matrix
+
+
+def _live_direct(a, r):
+    """Direct reference: evaluate x at every chunk base for const rows."""
+    a = np.asarray(a, dtype=np.float64)
+    n = a.shape[0]
+    C = 1 << (n - 1 - r)
+    cr = const_rows(a, r)
+    if len(cr) == 0:
+        return None
+    x0 = gray.x0_f64(a)
+    live = np.ones(C, dtype=bool)
+    any_zero = False
+    for cid in range(C):
+        g = (cid << r) ^ ((cid << r) >> 1)
+        for z in cr:
+            x = x0[z] + sum(a[z, b] for b in range(n - 1) if (g >> b) & 1)
+            if x == 0.0:
+                live[cid] = False
+                any_zero = True
+                break
+    return np.nonzero(live)[0].astype(np.int64) if any_zero else None
+
+
+def test_live_chunks_matches_direct_evaluation():
+    rng = np.random.default_rng(7)
+    checked = 0
+    for _ in range(12):
+        n = int(rng.integers(20, 24))
+        a = (rng.random((n, n)) < 0.25) * rng.integers(1, 5, (n, n))
+        r = int(rng.integers(n - 10, n - 4))
+        a = a[:, prune_order(a, r)[0]]       # make const rows common
+        want = _live_direct(a, r)
+        got = live_chunks(DenseMatrix(a, "int"), r=r)
+        if want is None:
+            assert got is None or len(got) == 1 << (n - 1 - r)
+        else:
+            assert got is not None
+            assert np.array_equal(np.sort(want), np.sort(got))
+            checked += 1
+    assert checked >= 4          # the densities above do produce kills
+
+
+def test_prune_order_preserves_permanent_and_adds_const_rows():
+    rng = np.random.default_rng(3)
+    a = random_int_matrix(rng, 14, 0.3, vmax=3)
+    np.fill_diagonal(a, 1)
+    want = perman_brute(a)
+    r = 7
+    perms = prune_order(a, r)
+    base = len(const_rows(a, r))
+    best = max(len(const_rows(a[:, p], r)) for p in perms)
+    assert best >= base           # packing never loses constant rows
+    for p in perms:
+        assert sorted(p) == list(range(14))
+        assert perman_brute(a[:, p]) == want
+
+
+def test_reference_suite_dead_fraction():
+    """The planner's ordering+pruning must remove a large fraction of
+    the walk on the benchmark regime (n=32 d=0.20 — the round-1 verdict
+    target); this guards the sparse win deterministically in CI."""
+    from superman_tpu.io.triplet import read_triplet
+    a = np.asarray(read_triplet("/root/reference/int/32_0.20_0").mat)
+    plan = plan_sparse(a, df=True)
+    assert plan is not None
+    assert plan.dead_frac >= 0.35
+    assert len(plan.factor_rows) >= 4     # the factored walk engages
+    # factored + walked rows partition the matrix
+    together = np.sort(np.concatenate([plan.alive_rows, plan.factor_rows]))
+    assert np.array_equal(together, np.arange(32))
+
+
+def test_chunk_factors_match_direct():
+    rng = np.random.default_rng(11)
+    n, r = 20, 9
+    a = (rng.random((n, n)) < 0.2) * rng.integers(1, 4, (n, n))
+    np.fill_diagonal(a, 1)
+    af = a.astype(np.float64)
+    cr = const_rows(af, r)
+    if len(cr) == 0:
+        pytest.skip("no const rows for this draw")
+    ids = np.arange(1 << (n - 1 - r), dtype=np.int64)
+    got = chunk_factors(af, cr, ids, r)
+    x0 = gray.x0_f64(af)
+    for cid in [0, 1, 5, 100, len(ids) - 1]:
+        g = (cid << r) ^ ((cid << r) >> 1)
+        want = 1.0
+        for z in cr:
+            want *= x0[z] + sum(af[z, b] for b in range(n - 1)
+                                if (g >> b) & 1)
+        assert got[cid] == want    # exact dyadic arithmetic
+    assert got[np.array([-1])[0]] != 0 or True
+    sentinel = chunk_factors(af, cr, np.array([-1, 0]), r)
+    assert sentinel[0] == 0.0
+
+
+def test_factored_sparse_engine_exact():
+    """End-to-end: the factored pruned walk (host-weighted on CPU; the
+    same weights feed the on-device reduction on TPU) recovers exact
+    integer permanents."""
+    rng = np.random.default_rng(5)
+    a = (rng.random((20, 20)) < 0.18) * rng.integers(1, 5, (20, 20))
+    np.fill_diagonal(a, rng.integers(1, 4, 20))
+    want = float(perman_brute(a))
+    r = sp.permanent(a, sparse=True, chunk_log2=8)
+    assert r.meta.get("sparse") is not None
+    assert r.meta["sparse"]["factored_rows"] >= 1
+    assert r.permanent == pytest.approx(want, rel=1e-10)
+    # cross-check against the unfactored dense walk on the same matrix
+    d = sp.permanent(a, sparse=False)
+    assert r.permanent == pytest.approx(d.permanent, rel=1e-10)

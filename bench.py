@@ -50,11 +50,14 @@ def main():
     f32k = best_of(lambda: sp.permanent(dm, calc="f32k"))
 
     # sparse floor: the only measured reference numbers are CPU SkipPer
-    # 0.563-1.30 s on n=32 d=0.20 (BASELINE.md)
+    # 0.563-1.30 s on n=32 d=0.20 (BASELINE.md); dense engine wall on
+    # the same matrix anchors the sparse-vs-dense speedup
     sdm = read_triplet("/root/reference/int/32_0.20_0")
-    sp.permanent(sdm, sparse=True, preprocessing=2, calc="df64")
-    sparse = best_of(lambda: sp.permanent(sdm, sparse=True,
-                                          preprocessing=2, calc="df64"))
+    SPARSE_VALID = 3.0796642024820435e+27   # native double, SUITE_REPORT
+    sp.permanent(sdm, calc="df64")
+    sdense = best_of(lambda: sp.permanent(sdm, calc="df64"))
+    sp.permanent(sdm, sparse=True, calc="df64")
+    sparse = best_of(lambda: sp.permanent(sdm, sparse=True, calc="df64"))
 
     print(json.dumps({
         "metric": "n32_dense_exact_gray_iters_per_sec_per_chip",
@@ -75,6 +78,11 @@ def main():
             "f32k_rel_err": float(
                 f"{abs(f32k.permanent - NATIVE_DOUBLE_VALUE) / NATIVE_DOUBLE_VALUE:.2e}"),
             "sparse_n32_d020_wall_s": round(sparse.time, 4),
+            "sparse_n32_d020_dense_wall_s": round(sdense.time, 4),
+            "sparse_vs_dense_speedup": round(sdense.time / sparse.time, 3),
+            "sparse_rel_err": float(
+                f"{abs(sparse.permanent - SPARSE_VALID) / SPARSE_VALID:.2e}"),
+            "sparse_plan": sparse.meta.get("sparse"),
             "sparse_ref_cpu_skipper_s": [0.563, 1.30],
         },
     }))

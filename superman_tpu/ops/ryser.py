@@ -50,6 +50,62 @@ def _row_scales(a: np.ndarray) -> np.ndarray:
     return np.clip(s, -980, 980).astype(np.int64)
 
 
+def _log2_perm_estimate(a: np.ndarray, trials: int = 6,
+                        seed: int = 12345):
+    """Crude host-side log2 |permanent| magnitude probe (Rasmussen's
+    estimator in log space over |A|, reference algo.h:171 repurposed):
+    a few n^2 greedy passes, median of the per-trial log estimates.
+
+    Only used to CENTER the power-of-two row scaling so the scaled Gray
+    total lands near 2^-12 on the first attempt: without it, matrices
+    whose permanent is far below the row-scale bound (sparse suites,
+    compressed drivers) need 1-2 full underflow-retry relaunches — each
+    a complete engine pass.  A wrong estimate costs only a retry (the
+    attempt loop with its finite/underflow fallbacks is unchanged).
+    Returns None when every trial dies (permanent likely 0).
+    """
+    ab = np.abs(np.asarray(a, dtype=np.float64))
+    n = ab.shape[0]
+    rng = np.random.default_rng(seed)
+    # process rows sparsest-first: fewer dead ends, lower variance
+    order = np.argsort((ab > 0).sum(axis=1), kind="stable")
+    ests = []
+    for _ in range(trials):
+        used = np.zeros(n, dtype=bool)
+        lg = 0.0
+        for i in order:
+            nz = np.nonzero((ab[i] > 0) & ~used)[0]
+            if len(nz) == 0:
+                lg = None
+                break
+            j = nz[rng.integers(len(nz))]
+            lg += np.log2(len(nz)) + np.log2(ab[i, j])
+            used[j] = True
+        if lg is not None:
+            ests.append(lg)
+    return float(np.median(ests)) if ests else None
+
+
+def _center_scales(a: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """Shift the per-row scales so the first attempt's scaled total is
+    near 2^-12 instead of underflow-retrying its way there.  The shift
+    is capped at 2^60 total term growth (f32 headroom; the retry loop's
+    non-finite fallback still guards mis-estimates)."""
+    est = _log2_perm_estimate(a)
+    if est is None or not np.isfinite(est):
+        return scales
+    n = a.shape[0]
+    delta = min(60, max(0, int(scales.sum()) - (int(est) + 12)))
+    if delta <= 0:
+        return scales
+    scales = scales.copy()
+    per_row, rem = divmod(delta, n)
+    scales -= per_row
+    if rem:
+        scales[:rem] -= 1
+    return scales
+
+
 def colst_pack(a: np.ndarray, n_pad: int):
     """(n_pad, nb_pad) transposed column tables, hi/lo f32 pair.
     a may be a (rows, n) row subset (factored sparse walk)."""
@@ -198,7 +254,7 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
               f"lanes={plan.lanes} chunks={live}/{plan.num_chunks} "
               f"calc={calc} shards={num_shards}", level=2)
 
-    scales = _row_scales(a)
+    scales = _center_scales(a, _row_scales(a))
     hybrid_stats = None
     best = None                 # (total, E) of the last FINITE attempt
     shifted = 0                 # cumulative per-row downshift (log2)

@@ -1,0 +1,80 @@
+"""Guard the recorded hardware evidence.
+
+The n>=30 accuracy/performance claims live in JSONL/JSON files generated
+on the real TPU (SUITE_REPORT*.jsonl, BENCH_r*.json, MULTICHIP_r*.json)
+— CI cannot regenerate them, but it CAN parse them and fail when they
+regress or go stale relative to the BASELINE.md thresholds (round-1
+verdict item: 'a cheap guard keeps that evidence honest under
+refactors')."""
+
+import glob
+import json
+import os
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# worst acceptable relative differences vs the independent native double
+# engine, by suite kind (measured worsts: int 5.6e-9, double 3.2e-8,
+# tf96 3.9e-12 — thresholds leave ~2x headroom)
+_THRESH = {
+    "SUITE_REPORT.jsonl": 1e-8,
+    "SUITE_REPORT_SEEDS.jsonl": 1e-8,
+    "SUITE_REPORT_N34.jsonl": 1e-8,
+    "SUITE_REPORT_FULL.jsonl": None,       # per-calc below
+    "SUITE_REPORT_DOUBLE.jsonl": 1e-7,
+    "SUITE_REPORT_TF96.jsonl": 1e-11,
+}
+_CALC_THRESH = {"df64": 1e-8, "tf96": 1e-11, "f32k": 1e-3, "f32": 5e-2,
+                "quad": 1e-11}
+
+
+def _lines(path):
+    with open(path) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def test_suite_reports_meet_thresholds():
+    found = 0
+    for name, thresh in _THRESH.items():
+        path = os.path.join(ROOT, name)
+        if not os.path.exists(path):
+            continue
+        for d in _lines(path):
+            rel = d.get("rel_diff")
+            if rel is None:
+                continue
+            t = thresh if thresh is not None else \
+                _CALC_THRESH.get(d.get("calc", "df64"), 1e-8)
+            assert rel <= t, (name, d.get("file"), rel, t)
+            found += 1
+    assert found >= 40     # the all-seeds sweep alone has 45 rows
+
+
+def test_bench_records_meet_baseline():
+    paths = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    assert paths, "no BENCH_r*.json evidence"
+    latest = json.load(open(paths[-1]))
+    parsed = latest.get("parsed") or latest
+    assert parsed["vs_baseline"] >= 1.0, parsed
+    assert parsed["value"] >= 4.0, parsed      # G iters/s df64 per chip
+    det = parsed.get("detail", {})
+    if "rel_err_vs_native_double" in det:
+        assert det["rel_err_vs_native_double"] <= 1e-8
+    # once a round records the new sparse engine, its floor is guarded:
+    # well under the 0.563 s reference CPU SkipPer best, and faster
+    # than the dense engine on the same matrix
+    if "sparse_vs_dense_speedup" in det:
+        assert det["sparse_n32_d020_wall_s"] < 0.45
+        assert det["sparse_vs_dense_speedup"] > 1.1
+        assert det["sparse_rel_err"] <= 1e-8
+
+
+def test_multichip_records_ok():
+    paths = sorted(glob.glob(os.path.join(ROOT, "MULTICHIP_r*.json")))
+    if not paths:
+        pytest.skip("no multichip record yet")
+    d = json.load(open(paths[-1]))
+    assert d.get("ok") is True
+    assert d.get("skipped") is False

@@ -90,14 +90,31 @@ def _rasmussen_trial(key, nz, n):
 
 
 def _scaling_trial(key, a, nz, n, scale_intervals, scale_times):
-    """One Sinkhorn-scaling-guided trial (reference algo.h:471-566)."""
+    """One Sinkhorn-scaling-guided trial (reference algo.h:471-566).
+
+    Beyond the reference: each step serves the most-constrained ENTITY —
+    the minimum-residual-degree row OR column — sampling its partner
+    from the scaled weights (the reference consumes rows in a fixed
+    order, algo.h:512).  Any adapted choice of what to match next keeps
+    sequential importance sampling unbiased (X still divides by the
+    realized transition probability); serving endangered columns is
+    what makes large sparse instances survivable at all — on the 36x36
+    grid graph (n=648, the reference's flagship default) the row-only
+    rule dies by column isolation within ~20 of 648 steps in EVERY
+    trial, while this rule completes ~5% of trials and lands within
+    ~2% of the exact Kasteleyn log-count."""
     def step(k, carry):
         key, colm, rowm, dr, dc, logx, dead = carry
         key, k1 = jax.random.split(key)
-        # min residual-degree row (matvec -> MXU under vmap)
-        nnz = jnp.dot(nz, colm, preferred_element_type=jnp.float32)
-        masked = jnp.where(rowm > 0, nnz, jnp.float32(1e9))
-        row = jnp.argmin(masked)
+        # residual degrees (matvecs -> MXU under vmap)
+        rowdeg = jnp.dot(nz, colm, preferred_element_type=jnp.float32)
+        coldeg = jnp.dot(rowm, nz, preferred_element_type=jnp.float32)
+        rmask = jnp.where(rowm > 0, rowdeg, jnp.float32(1e9))
+        cmask = jnp.where(colm > 0, coldeg, jnp.float32(1e9))
+        # an isolated unmatched row/column can never be matched
+        dead = dead | jnp.any((rowdeg < 0.5) & (rowm > 0)) \
+            | jnp.any((coldeg < 0.5) & (colm > 0))
+        row = jnp.argmin(rmask)
 
         # periodic Sinkhorn on the unextracted submatrix; the row/col sums
         # are matvecs so vmapped trials become (B, n) @ (n, n) MXU matmuls
@@ -123,19 +140,36 @@ def _scaling_trial(key, a, nz, n, scale_intervals, scale_times):
         dr, dc, dead = lax.cond(k % scale_intervals == 0, sinkhorn,
                                 lambda s: s, (dr, dc, dead))
 
-        # sample column ~ d_r[row] * a[row, j] * d_c[j] over valid columns
-        oh_r = _onehot(row, n)
-        arow = jnp.dot(oh_r, a, preferred_element_type=jnp.float32)
-        w = jnp.sum(dr * oh_r) * arow * dc * colm
-        col, pj, total = _uniform_choice(k1, w)
+        # serve the most-constrained entity: the tighter of (min-degree
+        # row, min-degree column) picks which side samples its partner
+        # from the scaled weights ~ d_r[i] * a[i, j] * d_c[j]
+        def serve_row(_):
+            oh_r = _onehot(row, n)
+            arow = jnp.dot(oh_r, a, preferred_element_type=jnp.float32)
+            w = jnp.sum(dr * oh_r) * arow * dc * colm
+            col, pj, total = _uniform_choice(k1, w)
+            oh_c = _onehot(col, n)
+            a_rc = jnp.sum(arow * oh_c)
+            return oh_r, oh_c, a_rc, pj, total
+
+        def serve_col(_):
+            col0 = jnp.argmin(cmask)
+            oh_c = _onehot(col0, n)
+            acol = jnp.dot(a, oh_c, preferred_element_type=jnp.float32)
+            w = jnp.sum(dc * oh_c) * acol * dr * rowm
+            row0, pj, total = _uniform_choice(k1, w)
+            oh_r = _onehot(row0, n)
+            a_rc = jnp.sum(acol * oh_r)
+            return oh_r, oh_c, a_rc, pj, total
+
+        oh_r, oh_c, a_rc, pj, total = lax.cond(
+            jnp.min(cmask) < jnp.min(rmask), serve_col, serve_row, 0)
         dead = dead | (total == 0)
-        oh_c = _onehot(col, n)
         # X *= a[row, col] / pj.  The reference divides by pj only
         # (algo.h:551 `Xa /= pj`), which estimates the 0/1-PATTERN
         # permanent when the matrix is weighted; including the a factor
         # makes the estimator unbiased for weights and is identical on
         # binary input.
-        a_rc = jnp.sum(arow * oh_c)
         logx = (logx + jnp.log2(jnp.maximum(a_rc, 1e-37))
                 - jnp.log2(jnp.maximum(pj, 1e-37)))
         colm = colm * (1.0 - oh_c)
@@ -207,10 +241,18 @@ def approximate(dense: DenseMatrix, flags) -> Result:
     if nshards > 1:
         fn = _sharded_batch(mesh, algo, n, int(flags.scale_intervals),
                             int(flags.scale_times))
-    total = 0.0
-    total_sq = 0.0
+    # log2-space accumulation: grid-scale estimates (36x36 -> counts
+    # ~2^530, values ~2^1000+ possible) overflow float64 sums/squares;
+    # the reference's double accumulators simply overflow there
+    NEG = np.float64(-np.inf)
+    total_l2 = NEG            # log2 of sum of trial values
+    ssq_l2 = NEG              # log2 of sum of squared trial values
     zeros = 0
     done = 0
+
+    def _logsumexp2(x):
+        m = float(np.max(x))
+        return m + float(np.log2(np.sum(np.exp2(x - m))))
 
     # hybrid trial chunking (reference _multigpucpu_chunks estimators,
     # gpu_approximation_dense.cu:411-524, cpu_chunk = 50000): a CPU
@@ -281,26 +323,35 @@ def approximate(dense: DenseMatrix, flags) -> Result:
                 scale_times=int(flags.scale_times))
         logs = np.asarray(logs, np.float64)[:b]
         dead = np.asarray(dead)[:b]
-        vals = np.where(dead, 0.0, np.exp2(logs))
-        total += float(vals.sum())
-        total_sq += float((vals * vals).sum())
+        alive = logs[~dead]
+        if alive.size:
+            total_l2 = np.logaddexp2(total_l2, _logsumexp2(alive))
+            ssq_l2 = np.logaddexp2(ssq_l2, _logsumexp2(2.0 * alive))
         zeros += int(dead.sum())
         done += b
+    n_acc = done
     if cpu_thread is not None:
         cpu_thread.join()
-        total += cpu_state["sum"]
+        if cpu_state["sum"] > 0:
+            total_l2 = np.logaddexp2(total_l2, np.log2(cpu_state["sum"]))
         done += cpu_state["trials"]
         zeros += cpu_state["zeros"]
-    est = total / done
+    # est = 2^total_l2 / done; beyond-f64 results become the honest inf
+    with np.errstate(over="ignore"):
+        est = float(np.exp2(total_l2 - np.log2(done))) + 0.0 \
+            if done else 0.0
     # standard error of the MC mean (the reference reports only the mean;
     # X_i are iid, so stderr = sqrt(var/N)).  Hybrid CPU chunks report
     # only their means, so stderr covers the accelerator trials.
-    n_acc = done - cpu_state["trials"]
     stderr = None
-    if n_acc > 1:
-        mean_acc = (total - cpu_state["sum"]) / n_acc
-        var = max(total_sq / n_acc - mean_acc * mean_acc, 0.0)
-        stderr = float(np.sqrt(var / n_acc))
+    if n_acc > 1 and np.isfinite(total_l2):
+        mean_l2 = total_l2 - np.log2(n_acc)
+        # S2/mean^2 = 2^(ssq_l2 - 2 mean_l2); var = (S2 - N mean^2)/N
+        ratio = float(np.exp2(min(ssq_l2 - 2.0 * mean_l2, 1024)))
+        rel_var = max(ratio - n_acc, 0.0) / n_acc
+        with np.errstate(over="ignore"):
+            stderr = float(np.exp2(mean_l2)
+                           * np.sqrt(rel_var / n_acc)) + 0.0
     name = f"approx_{algo}" + ("_hybrid" if cpu_thread is not None else "")
     return Result(est, _time.perf_counter() - t0,
                   algo_name=name, zeros=zeros,

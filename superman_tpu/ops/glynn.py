@@ -20,6 +20,12 @@ The Gray walk over delta maps EXACTLY onto the Ryser Pallas kernel
 
 Column scaling by powers of two is exact and keeps every |x_j| ~ 1, as in
 the Ryser path.
+
+Scope (deliberate): Glynn is the ORACLE engine — single-path, no
+host-slicing, no hybrid scheduler, no chunk pruning.  Under
+multi-process every host redoes the full walk (correct, wasteful);
+production workloads route through the Ryser engine, and Glynn's value
+is exactly that it shares none of its distribution machinery.
 """
 
 from __future__ import annotations

@@ -45,3 +45,26 @@ def grid_graph_matrix(m: int, n: int) -> DenseMatrix:
 KNOWN_COUNTS = {(2, 2): 2, (2, 3): 3, (2, 4): 5, (3, 4): 11, (4, 4): 36,
                 (6, 6): 6728, (8, 8): 12988816,
                 (12, 12): 53060477521960000}
+
+
+def kasteleyn_log2(m: int, n: int) -> float:
+    """log2 of the exact perfect-matching count, by the Kasteleyn /
+    Temperley-Fisher closed form:
+
+        PM(m, n) = prod_{j=1..m} prod_{k=1..n}
+                   (4 cos^2(j pi/(m+1)) + 4 cos^2(k pi/(n+1))) ^ (1/4)
+
+    Closed-form ground truth for ANY feasible grid — the estimator
+    validation at n = mn/2 >= 100 (e.g. the reference's flagship
+    36 x 36 default, main.cu:250-323) checks against this, far beyond
+    where the exact Ryser walk could reach.  Computed in log space
+    (the 36 x 36 count is ~2^1068).
+    """
+    if (m * n) % 2 == 1:
+        return float("-inf")
+    j = np.arange(1, m + 1)[:, None]
+    k = np.arange(1, n + 1)[None, :]
+    t = (4 * np.cos(j * np.pi / (m + 1)) ** 2
+         + 4 * np.cos(k * np.pi / (n + 1)) ** 2)
+    # one factor may be exactly 0 only when m and n are both odd
+    return float(np.sum(np.log2(t)) / 4.0)

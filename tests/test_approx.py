@@ -128,3 +128,29 @@ def test_estimator_reports_stderr(rng):
     assert se is not None and se > 0
     # the true value should lie within ~5 sigma of the estimate
     assert abs(r.permanent - want) < 5 * se
+
+
+def test_kasteleyn_closed_form():
+    """The Temperley-Fisher product formula reproduces every known
+    perfect-matching count to f64 precision — it is the exact ground
+    truth used to validate the estimator at n > 100 (where no exact
+    walk can reach)."""
+    from superman_tpu.prep.gridgraph import kasteleyn_log2
+    for (m, n), want in KNOWN_COUNTS.items():
+        got = 2.0 ** kasteleyn_log2(m, n)
+        assert got == pytest.approx(want, rel=1e-12), (m, n)
+    assert kasteleyn_log2(3, 3) == float("-inf")
+
+
+def test_scaling_estimator_large_sparse_grid():
+    """The most-constrained-entity sampling rule must keep trials alive
+    on large sparse instances: on the 12x12 grid (n=72, ~5.6% density)
+    a small trial budget already lands within a factor of ~3 of the
+    exact count (the row-only rule dies in nearly every trial)."""
+    from superman_tpu.prep.gridgraph import kasteleyn_log2
+    r = sp.grid_permanent(12, 12, approximation=True,
+                          perman_algo="scaling", number_of_times=300)
+    assert r.zeros < 290                 # most trials survive
+    assert r.permanent > 0
+    got = np.log2(r.permanent)
+    assert abs(got - kasteleyn_log2(12, 12)) < 4.0   # within 2^4

@@ -49,7 +49,9 @@ def compress_and_calculate_recursive(dense: DenseMatrix, flags) -> Result:
     if flags.scaling_threshold != -1.0:
         from .scale_driver import scale_and_calculate
         return scale_and_calculate(dense, flags, compressing=True)
-    if _magnitude_imbalanced(dense.mat):
+    if _magnitude_imbalanced(dense.mat) and (dense.mat >= 0).all():
+        # (nonneg only: Sinkhorn preconditioning cannot fix signed
+        # cancellation, and its sums may hit zero/negative mid-iteration)
         # d2 merges concentrate magnitude; the resulting within-line
         # spread makes the Ryser sum cancellation-bound beyond ANY
         # double-class arithmetic (found by fuzzing: exact 2.8e-194

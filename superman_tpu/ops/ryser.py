@@ -195,12 +195,11 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
     sparse_meta = None
     if chunk_ids is None and flags.sparse and flags.skip_pruning:
         from .pruning import plan_sparse
-        # row factoring and the on-device weighted reduction are wired
-        # for the single-device/multi-host engine; the hybrid scheduler
-        # journals unweighted unit sums and the shard_map path has no
-        # weight plumbing, so those keep the full-row walk
-        allow_factor = not (flags.hybrid or flags.checkpoint_path) \
-            and num_shards == 1
+        # row factoring works on the single-device, mesh and multi-host
+        # engines (each shard derives its weights on device from its id
+        # slice); only the hybrid scheduler keeps the full-row walk —
+        # it journals unweighted unit sums
+        allow_factor = not (flags.hybrid or flags.checkpoint_path)
         sp = plan_sparse(a, chunk_log2=flags.chunk_log2,
                          df=df or tf, allow_factor=allow_factor,
                          giters=4.5 if (df or tf) else 21.0)
@@ -315,7 +314,8 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
                         blk, x0_pair, cols_pair, cth, ctl, plan,
                         df=df, exact_storage=exact_storage, mesh=mesh,
                         kahan=kahan, tf=tf, interpret=interpret,
-                        factors=factors)
+                        factors=factors,
+                        reduce_ok=sparse_meta is not None)
                     if tf:
                         total += partials.sum(dtype=np.longdouble)
                     else:

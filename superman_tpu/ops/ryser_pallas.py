@@ -470,7 +470,23 @@ def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, w_pair=None, *,
         bxhi, bxlo, bsmid = args
         return call(r_arr, bxhi, bxlo, bsmid, colst_hi, colst_lo)
 
-    return lax.map(one_block, (xhi, xlo, smid))
+    out = lax.map(one_block, (xhi, xlo, smid))
+    if not reduce:
+        return out
+    # KB=1 (scalar-kernel / interpret) variant of the weighted reduce:
+    # grouped 32 blocks at a time with the same halving tree as the
+    # multi-block path, so CPU (interpret) and TPU runs regroup their
+    # sums IDENTICALLY (reduce requires B % 32 == 0)
+    if weighted:
+        out = _weight_out8(out, w_pair[:, 0], w_pair[:, 1], df=df,
+                           kahan=kahan)
+    grp = out.reshape(B // 32, 32, 8, L)
+    k = 32
+    while k > 1:
+        k //= 2
+        grp = _merge_out8(grp[:, :k], grp[:, k:2 * k], df=df,
+                          kahan=kahan, tf=tf)
+    return grp[:, 0]
 
 
 def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,

@@ -52,23 +52,33 @@ def pad_ids(ids: np.ndarray, lanes: int, num_shards: int,
 @functools.lru_cache(maxsize=None)
 def _sharded_fn(mesh: Mesh, n: int, n_pad: int, df: bool,
                 exact_storage: bool, use_u16: bool, kahan: bool,
-                tf: bool, u: int, interpret: bool):
+                tf: bool, u: int, interpret: bool,
+                weighted: bool = False, nf_pad: int = 8,
+                reduce: bool = False):
     """jitted shard_map executable, cached per (mesh, statics) so repeated
-    calls (and different r values) reuse one compile."""
+    calls (and different r values) reuse one compile.  weighted/reduce
+    mirror the single-device factored-sparse path: each shard derives
+    its chunk weights on device from its own id slice."""
     init_df = df and not exact_storage
 
-    def local(r_arr, ids_blk, x0p, colsp, cth, ctl):
+    def local(r_arr, ids_blk, x0p, colsp, cth, ctl, fx0, fcols):
         xhi, xlo, smid = gray.chunk_init(ids_blk, x0p, colsp, n=n,
                                          n_pad=n_pad, r=r_arr[0],
                                          df=init_df)
-        return _partials_jit(r_arr, xhi, xlo, smid, cth, ctl,
+        w_pair = None
+        if weighted:
+            whi, wlo = gray.factor_weights(ids_blk, fx0, fcols, n=n,
+                                           nf_pad=nf_pad, r=r_arr[0])
+            w_pair = jnp.stack([whi, wlo], axis=1)
+        return _partials_jit(r_arr, xhi, xlo, smid, cth, ctl, w_pair,
                              use_u16=use_u16, df=df,
                              exact_storage=exact_storage, kahan=kahan,
-                             tf=tf, u=u, interpret=interpret)
+                             tf=tf, u=u, interpret=interpret,
+                             weighted=weighted, reduce=reduce)
 
     f = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(RANGE_AXIS), P(), P(), P(), P()),
+        in_specs=(P(), P(RANGE_AXIS), P(), P(), P(), P(), P(), P()),
         out_specs=P(RANGE_AXIS),
         check_vma=False)
     return jax.jit(f)
@@ -79,7 +89,7 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
                      df: bool, exact_storage: bool,
                      mesh: Optional[Mesh] = None, kahan: bool = False,
                      tf: bool = False, interpret: bool = False,
-                     factors=None) -> np.ndarray:
+                     factors=None, reduce_ok: bool = False) -> np.ndarray:
     """Run init + kernel over (B, L) chunk ids, optionally sharded.
 
     factors: optional (fx0_pair, fcols_pair, nf_pad, host_fn) describing
@@ -107,9 +117,14 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
     u = min(4 if (full_df or tf) else (5 if df else 7), r - 1) \
         if use_u16 else 4
     single = mesh is None or np.prod(mesh.devices.shape) == 1
-    # tf96 weights would need a triple-word multiply to keep the tier's
-    # ~72-bit contract; its factors are applied on host instead
-    reduce = bool(single and use_u16 and B % 32 == 0 and B >= 32
+    # reduce_ok comes from the pruned-sparse caller only: its pad_ids
+    # block_multiple=32 guarantees shard boundaries align with the
+    # 32-block reduction groups, so mesh and single runs regroup sums
+    # IDENTICALLY (bitwise) — the dense paths keep per-lane partials and
+    # their exact bitwise mesh-vs-single contract.  tf96 weights would
+    # need a triple-word multiply to keep the tier's ~72-bit contract;
+    # its factors are applied on host instead.
+    reduce = bool(reduce_ok and single and B % 32 == 0 and B >= 32
                   and not (tf and factors is not None))
     host_weights = None
 
@@ -135,11 +150,25 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
                              tf=tf, interpret=interpret, w_pair=w_pair,
                              reduce=reduce)
     else:
+        num_shards = int(np.prod(mesh.devices.shape))
+        b_shard = B // num_shards
+        reduce = bool(reduce_ok and b_shard % 32 == 0 and b_shard >= 32)
+        # device weighting rides the reduction path; without it (tf96,
+        # interpret, small shards) the factors fall back to host_fn
+        weighted = factors is not None and not tf and reduce
+        if weighted:
+            fx0, fcols, nf_pad, _ = factors
+        else:
+            # dummy replicated operands keep one arg signature
+            fx0 = np.zeros((2, 8), np.float32)
+            fcols = np.zeros((2, n - 1, 8), np.float32)
+            nf_pad = 8
         fn = _sharded_fn(mesh, n, n_pad, df, exact_storage, use_u16,
-                         kahan, tf, u, interpret)
-        out = fn(jnp.asarray([r], dtype=jnp.int32), *args)
-        reduce = False
-        if factors is not None:
+                         kahan, tf, u, interpret, weighted=weighted,
+                         nf_pad=int(nf_pad), reduce=reduce)
+        out = fn(jnp.asarray([r], dtype=jnp.int32), *args,
+                 jnp.asarray(fx0), jnp.asarray(fcols))
+        if factors is not None and not weighted:
             host_weights = factors[3](ids_blocks)
     rows = 3 if tf else 2
     out = out[:, :rows, :]                  # device slice: small D2H

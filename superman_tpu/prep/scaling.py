@@ -29,7 +29,16 @@ class ScaleCompanion:
     c_v: np.ndarray
 
     def log2_product(self) -> float:
-        return float(np.sum(np.log2(self.r_v)) + np.sum(np.log2(self.c_v)))
+        """log2 |prod(r) * prod(c)|; signs are tracked separately
+        (Sinkhorn on a SIGNED matrix yields negative factors — the
+        per(B) = per(A) prod(r) prod(c) identity still holds, but
+        log2 of a negative factor is NaN; found by fuzzing)."""
+        return float(np.sum(np.log2(np.abs(self.r_v)))
+                     + np.sum(np.log2(np.abs(self.c_v))))
+
+    def sign_product(self) -> float:
+        neg = int((self.r_v < 0).sum()) + int((self.c_v < 0).sum())
+        return -1.0 if neg % 2 else 1.0
 
 
 def scalesk(a: np.ndarray, scaling_threshold: float,
@@ -70,4 +79,5 @@ def unscale_permanent(permanent: float, sc: ScaleCompanion) -> float:
     e = int(np.floor(lp))
     frac = np.exp2(np.float64(lp - e))          # in [1, 2)
     with np.errstate(over="ignore"):
-        return float(np.ldexp(np.float64(permanent) / frac, -e))
+        return float(np.ldexp(np.float64(permanent)
+                              * sc.sign_product() / frac, -e))

@@ -375,10 +375,17 @@ def _merge_out8(a8, b8, *, df, kahan, tf):
     return jnp.concatenate([rows, pad], axis=-2)
 
 
-def _weight_out8(o8, w_hi, w_lo, *, df, kahan):
+def _weight_out8(o8, w_hi, w_lo, *, df, kahan, tf=False):
     """Multiply per-lane partial sums by per-lane df64 weights (the
-    factored-out constant-row products of the sparse path)."""
-    if df or kahan:
+    factored-out constant-row products of the sparse path).  tf96
+    partials multiply by the df64 weight as a zero-extended triple —
+    the weight's own 2^-48 error (nf chained df_muls) bounds the tier
+    at ~1e-13, within its ~1e-12 suite contract."""
+    if tf:
+        t = tfm.tf_mul(o8[..., 0, :], o8[..., 1, :], o8[..., 2, :],
+                       w_hi, w_lo, jnp.zeros_like(w_hi))
+        rows = jnp.stack(t, axis=-2)
+    elif df or kahan:
         hi, lo = df64.df_mul(o8[..., 0, :], o8[..., 1, :], w_hi, w_lo)
         rows = jnp.stack([hi, lo], axis=-2)
     else:
@@ -449,7 +456,7 @@ def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, w_pair=None, *,
             # bottleneck (~0.9 us/chunk through the remote tunnel).
             if weighted:
                 out = _weight_out8(out, bw[:, 0], bw[:, 1], df=df,
-                                   kahan=kahan)
+                                   kahan=kahan, tf=tf)
             k = KB
             while k > 1:
                 k //= 2
@@ -479,7 +486,7 @@ def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, w_pair=None, *,
     # sums IDENTICALLY (reduce requires B % 32 == 0)
     if weighted:
         out = _weight_out8(out, w_pair[:, 0], w_pair[:, 1], df=df,
-                           kahan=kahan)
+                           kahan=kahan, tf=tf)
     grp = out.reshape(B // 32, 32, 8, L)
     k = 32
     while k > 1:

@@ -121,11 +121,10 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
     # block_multiple=32 guarantees shard boundaries align with the
     # 32-block reduction groups, so mesh and single runs regroup sums
     # IDENTICALLY (bitwise) — the dense paths keep per-lane partials and
-    # their exact bitwise mesh-vs-single contract.  tf96 weights would
-    # need a triple-word multiply to keep the tier's ~72-bit contract;
-    # its factors are applied on host instead.
-    reduce = bool(reduce_ok and single and B % 32 == 0 and B >= 32
-                  and not (tf and factors is not None))
+    # their exact bitwise mesh-vs-single contract.  tf96 partials weight
+    # by the df64 factor as a zero-extended triple (~1e-13, within the
+    # tier's suite contract).
+    reduce = bool(reduce_ok and single and B % 32 == 0 and B >= 32)
     host_weights = None
 
     args = (jnp.asarray(ids_blocks), jnp.asarray(x0_pair),
@@ -135,7 +134,7 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
         from ..ops.ryser_pallas import ryser_partials
         w_pair = None
         if factors is not None:
-            if reduce and not tf:
+            if reduce:
                 fx0, fcols, nf_pad, _ = factors
                 whi, wlo = gray.factor_weights(
                     args[0], jnp.asarray(fx0), jnp.asarray(fcols),
@@ -153,9 +152,9 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
         num_shards = int(np.prod(mesh.devices.shape))
         b_shard = B // num_shards
         reduce = bool(reduce_ok and b_shard % 32 == 0 and b_shard >= 32)
-        # device weighting rides the reduction path; without it (tf96,
-        # interpret, small shards) the factors fall back to host_fn
-        weighted = factors is not None and not tf and reduce
+        # device weighting rides the reduction path; without it
+        # (small shards) the factors fall back to host_fn
+        weighted = factors is not None and reduce
         if weighted:
             fx0, fcols, nf_pad, _ = factors
         else:

@@ -71,6 +71,22 @@ def test_bench_records_meet_baseline():
         assert det["sparse_rel_err"] <= 1e-8
 
 
+def test_sparse_report_meets_targets():
+    """The sparse engine's recorded hardware sweep: every matrix beats
+    the dense walk, and accuracy stays in the df64 class (recorded
+    worst 7.9e-11, mean speedup 1.96x over 12 suite matrices)."""
+    path = os.path.join(ROOT, "SUITE_REPORT_SPARSE.jsonl")
+    if not os.path.exists(path):
+        pytest.skip("no sparse report yet")
+    rows = [d for d in _lines(path) if "file" in d]
+    assert len(rows) >= 10
+    for d in rows:
+        assert d["rel_diff"] <= 1e-9, d
+        assert d["speedup"] >= 1.1, d
+    mean = sum(d["speedup"] for d in rows) / len(rows)
+    assert mean >= 1.4
+
+
 def test_multichip_records_ok():
     paths = sorted(glob.glob(os.path.join(ROOT, "MULTICHIP_r*.json")))
     if not paths:

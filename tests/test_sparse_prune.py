@@ -132,3 +132,17 @@ def test_factored_sparse_engine_exact():
     # cross-check against the unfactored dense walk on the same matrix
     d = sp.permanent(a, sparse=False)
     assert r.permanent == pytest.approx(d.permanent, rel=1e-10)
+
+
+def test_tf96_factored_sparse_reduce():
+    """tf96 + factored sparse through the 32-block reduce path (B=32
+    engages on CPU at r=6, lanes=256): the device weighting multiplies
+    the triple-float partials by the df64 factor (zero-extended triple)
+    and must stay within the tier's contract."""
+    rng = np.random.default_rng(9)
+    a = (rng.random((20, 20)) < 0.18) * rng.integers(1, 5, (20, 20))
+    np.fill_diagonal(a, rng.integers(1, 4, 20))
+    want = float(perman_brute(a))
+    r = sp.permanent(a, calc="tf96", sparse=True, chunk_log2=6, lanes=256)
+    assert r.meta.get("sparse") is not None
+    assert r.permanent == pytest.approx(want, rel=1e-11)

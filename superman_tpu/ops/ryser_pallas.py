@@ -398,11 +398,12 @@ def _weight_out8(o8, w_hi, w_lo, *, df, kahan, tf=False):
 @functools.partial(
     jax.jit,
     static_argnames=("use_u16", "df", "exact_storage", "kahan", "tf", "u",
-                     "interpret", "weighted", "reduce"))
+                     "interpret", "weighted", "reduce", "allow_multi"))
 def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, w_pair=None, *,
                   use_u16: bool, df: bool, exact_storage: bool,
                   kahan: bool, tf: bool, u: int, interpret: bool,
-                  weighted: bool = False, reduce: bool = False):
+                  weighted: bool = False, reduce: bool = False,
+                  allow_multi: bool = True):
     B, n_pad, L = xhi.shape
     flops_per = 2 * n_pad * (10 if df else 1)
     # Multi-block path: KB=32 blocks per program (internal fori_loop)
@@ -410,7 +411,8 @@ def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, w_pair=None, *,
     # (~0.5 ms at L=512, measured) would otherwise dominate short-chunk
     # pruned-sparse launches.  KB is part of the kernel, so only one
     # extra Mosaic compile exists beyond the single-block variant.
-    KB = 32 if (use_u16 and B % 32 == 0 and B >= 32) else 1
+    KB = 32 if (allow_multi and use_u16 and B % 32 == 0
+                and B >= 32) else 1
     if KB > 1:
         kern = functools.partial(_ryser_kernel_u16_multi, df=df,
                                  exact_storage=exact_storage,
@@ -522,6 +524,12 @@ def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
     time explodes on the unrolled body.
     """
     use_u16 = bool(r >= 5 and not interpret)
+    # the 32-block kernel multiplies per-PROGRAM runtime by 32; a single
+    # pallas program running >~2^33 Gray iters (~2 s df64) trips the
+    # device watchdog and CRASHES the TPU worker (observed at n=40
+    # r=22: 2^36 iters/program), so long chunks stay per-block
+    L = xhi.shape[2]
+    allow_multi = (r + int(np.log2(max(L, 1))) + 5) <= 33
     # unroll factor: biggest 2**u with u <= r-1 (mid-step constraint).
     # Measured on n=32: f32/f32k keep gaining up to 128-step blocks
     # (19.6 -> 27.4 G iters/s); df64 is compute-bound and flat, so it
@@ -539,4 +547,4 @@ def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
                          use_u16=use_u16, df=df,
                          exact_storage=exact_storage, kahan=kahan, tf=tf,
                          u=u, interpret=interpret, weighted=weighted,
-                         reduce=reduce)
+                         reduce=reduce, allow_multi=allow_multi)

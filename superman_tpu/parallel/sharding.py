@@ -54,7 +54,7 @@ def _sharded_fn(mesh: Mesh, n: int, n_pad: int, df: bool,
                 exact_storage: bool, use_u16: bool, kahan: bool,
                 tf: bool, u: int, interpret: bool,
                 weighted: bool = False, nf_pad: int = 8,
-                reduce: bool = False):
+                reduce: bool = False, allow_multi: bool = True):
     """jitted shard_map executable, cached per (mesh, statics) so repeated
     calls (and different r values) reuse one compile.  weighted/reduce
     mirror the single-device factored-sparse path: each shard derives
@@ -74,7 +74,8 @@ def _sharded_fn(mesh: Mesh, n: int, n_pad: int, df: bool,
                              use_u16=use_u16, df=df,
                              exact_storage=exact_storage, kahan=kahan,
                              tf=tf, u=u, interpret=interpret,
-                             weighted=weighted, reduce=reduce)
+                             weighted=weighted, reduce=reduce,
+                             allow_multi=allow_multi)
 
     f = shard_map(
         local, mesh=mesh,
@@ -108,6 +109,25 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
     """
     n, n_pad, r = plan.n, plan.n_pad, plan.r
     B = ids_blocks.shape[0]
+    nsh = 1 if mesh is None else int(np.prod(mesh.devices.shape))
+    # The axon stack kills any single device execution running longer
+    # than ~40-60 s (measured: n=38 dense, 37 s, survives; n=39, 61 s,
+    # CRASHES the TPU worker).  Cap each execution at ~20 s of walk and
+    # split longer launches into power-of-two block groups (compile
+    # shapes stay reused); results concatenate transparently.
+    rate = 1.6e9 if tf else (4.5e9 if df else 2.1e10)
+    cap_iters = int(20.0 * rate)
+    per_block = ids_blocks.shape[1] << r
+    if not interpret and B > nsh and B * per_block > cap_iters:
+        g = max(1, cap_iters // per_block, nsh)
+        g = 1 << (int(g).bit_length() - 1)          # pow2 floor
+        parts = [compute_partials(
+            ids_blocks[i:i + g], x0_pair, cols_pair, colst_hi,
+            colst_lo, plan, df=df, exact_storage=exact_storage,
+            mesh=mesh, kahan=kahan, tf=tf, interpret=interpret,
+            factors=factors, reduce_ok=reduce_ok)
+            for i in range(0, B, g)]
+        return np.concatenate(parts, axis=0)
     init_df = df and not exact_storage
     use_u16 = bool(r >= 5 and not interpret)
     full_df = df and not exact_storage
@@ -162,9 +182,12 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
             fx0 = np.zeros((2, 8), np.float32)
             fcols = np.zeros((2, n - 1, 8), np.float32)
             nf_pad = 8
+        allow_multi = (r + int(np.log2(max(ids_blocks.shape[1], 1)))
+                       + 5) <= 33
         fn = _sharded_fn(mesh, n, n_pad, df, exact_storage, use_u16,
                          kahan, tf, u, interpret, weighted=weighted,
-                         nf_pad=int(nf_pad), reduce=reduce)
+                         nf_pad=int(nf_pad), reduce=reduce,
+                         allow_multi=allow_multi)
         out = fn(jnp.asarray([r], dtype=jnp.int32), *args,
                  jnp.asarray(fx0), jnp.asarray(fcols))
         if factors is not None and not weighted:

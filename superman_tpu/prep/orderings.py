@@ -130,45 +130,69 @@ def rcm_order(a: np.ndarray) -> np.ndarray:
     return np.asarray(order[::-1], dtype=np.int64)
 
 
-def prune_order(a: np.ndarray, r: int, rng_seeds=(0, 1, 2)) -> np.ndarray:
-    """Column permutation that maximizes chunk-prunable rows.
+def _row_zero_frac(a: np.ndarray, z: int) -> float:
+    """Fraction of a row's reachable Gray-walk x values that are exactly
+    zero (the row's chunk-kill power if it becomes chunk-constant)."""
+    n = a.shape[1]
+    cols = np.nonzero(a[z, : n - 1])[0]
+    if len(cols) > 16:
+        return 0.0
+    x0 = float(a[z, -1]) - float(a[z].sum()) / 2.0
+    pat = np.array([x0])
+    for v in a[z, cols].astype(np.float64):
+        pat = np.concatenate([pat, pat + v])
+    return float((pat == 0.0).mean())
+
+
+def prune_order(a: np.ndarray, r: int) -> list:
+    """Column permutations that maximize chunk-prunable rows.
 
     A row is chunk-constant (and hence can kill whole chunks, see
     ops/pruning.py) iff its support lies entirely in the n-r "outer"
-    columns r..n-1.  Greedy set packing: repeatedly adopt the row that
-    needs the fewest new outer columns, while the outer budget lasts.
-    Ties are broken differently per candidate; the caller evaluates the
-    true dead fraction per candidate and keeps the best (the greedy
-    objective — count of constant rows — is only a proxy: a constant
-    row helps only if some signed subset of its values hits zero).
+    columns r..n-1.  Greedy set packing over three candidate scoring
+    rules; the caller evaluates each candidate's true/estimated dead
+    fraction and keeps the best:
+
+    * "mindeg": adopt the row needing the fewest new outer columns
+      (maximizes the COUNT of constant rows);
+    * "zero": score rows by zero_frac/(need+1) — a constant row only
+      kills chunks if some signed subset of its values hits zero, so
+      spend the outer budget on rows that actually will (measured +4
+      to +13 points of dead fraction on the d=0.20-0.25 suites);
+    * "random": a shuffled tie-break of mindeg.
 
     The reference's orderings (SortOrder/SkipOrder, util.h:553-684)
-    optimize for per-thread skip length; this one optimizes for the
-    TPU engine's chunk-granular pruning instead.
-
-    Returns the best candidate column permutations, one per seed, as a
-    list of arrays (inner columns first).
+    optimize for per-thread skip length; these optimize for the TPU
+    engine's chunk-granular pruning instead.
     """
+    a = np.asarray(a)
     n = a.shape[0]
-    nz = np.asarray(a) != 0
+    nz = a != 0
     budget = n - r
     supports = [frozenset(np.nonzero(nz[i])[0]) for i in range(n)]
+    zf = [_row_zero_frac(a, i) for i in range(n)]
     perms = []
-    for seed in rng_seeds:
-        rnd = np.random.default_rng(seed)
-        order = rnd.permutation(n) if seed else np.argsort(
-            [len(s) for s in supports], kind="stable")
+    for strategy in ("mindeg", "zero", "random"):
+        rnd = np.random.default_rng(1)
+        order = (rnd.permutation(n) if strategy == "random"
+                 else np.argsort([len(s) for s in supports],
+                                 kind="stable"))
         outer: set = set()
         covered: set = set()
         while True:
-            best, best_need = None, None
+            best, best_score = None, None
             for i in order:
                 if i in covered:
                     continue
                 need = len(supports[i] - outer)
-                if len(outer) + need <= budget and (
-                        best_need is None or need < best_need):
-                    best, best_need = i, need
+                if len(outer) + need > budget:
+                    continue
+                if strategy == "zero":
+                    score = (zf[i] + 0.01) / (need + 1)
+                else:
+                    score = -need
+                if best_score is None or score > best_score:
+                    best, best_score = i, score
             if best is None:
                 break
             outer |= supports[best]

@@ -78,13 +78,18 @@ def test_sparse_report_meets_targets():
     path = os.path.join(ROOT, "SUITE_REPORT_SPARSE.jsonl")
     if not os.path.exists(path):
         pytest.skip("no sparse report yet")
-    rows = [d for d in _lines(path) if "file" in d]
+    rows = [d for d in _lines(path) if "speedup" in d]
     assert len(rows) >= 10
     for d in rows:
         assert d["rel_diff"] <= 1e-9, d
         assert d["speedup"] >= 1.1, d
     mean = sum(d["speedup"] for d in rows) / len(rows)
     assert mean >= 1.4
+    # the n=40 anchor row (validated against the TPU dense walk)
+    n40 = [d for d in _lines(path) if d.get("file") == "40_0.10_0"]
+    if n40:
+        assert n40[-1]["rel_diff_vs_tpu_dense"] <= 1e-8
+        assert n40[-1]["sparse_wall_s"] < 60
 
 
 def test_multichip_records_ok():

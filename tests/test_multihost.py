@@ -74,6 +74,10 @@ def test_two_real_processes_bitwise(tmp_path):
     np.fill_diagonal(a, 1)
     mpath = str(tmp_path / "m21.txt")
     write_triplet(mpath, DenseMatrix(a, "int"))
+    sa = (rng.random((20, 20)) < 0.18) * rng.integers(1, 4, (20, 20))
+    np.fill_diagonal(sa, 1)
+    spath = str(tmp_path / "s20.txt")
+    write_triplet(spath, DenseMatrix(sa, "int"))
 
     script = r"""
 import sys
@@ -84,9 +88,11 @@ jax.distributed.initialize(coordinator_address="127.0.0.1:{port}",
 import superman_tpu as sp
 r = sp.permanent("{path}", calc="df64", chunk_log2=6, lanes=256)
 print("RESULT", repr(r.permanent), jax.process_count())
+s = sp.permanent("{spath}", sparse=True, chunk_log2=8, lanes=128)
+print("SPARSE", repr(s.permanent), int(s.meta.get("sparse") is not None))
 """
     port = 23987
-    code = script.format(port=port, path=mpath)
+    code = script.format(port=port, path=mpath, spath=spath)
     procs = [subprocess.Popen([sys.executable, "-c", code, str(i)],
                               stdout=subprocess.PIPE,
                               stderr=subprocess.PIPE, text=True)
@@ -96,10 +102,15 @@ print("RESULT", repr(r.permanent), jax.process_count())
         out, err = p.communicate(timeout=420)
         assert p.returncode == 0, err[-2000:]
         line = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
-        assert line, out + err[-500:]
-        outs.append(line[0].split())
+        sline = [ln for ln in out.splitlines() if ln.startswith("SPARSE")]
+        assert line and sline, out + err[-500:]
+        outs.append(line[0].split() + sline[0].split())
     assert outs[0][2] == outs[1][2] == "2"     # really 2 processes
     assert outs[0][1] == outs[1][1]            # bitwise-identical totals
+    assert outs[0][4] == outs[1][4]            # sparse bitwise too
+    assert outs[0][5] == "1"                   # pruned plan engaged
     single = sp.permanent(mpath, calc="df64", chunk_log2=6, lanes=256)
     import pytest
     assert float(outs[0][1]) == pytest.approx(single.permanent, rel=1e-12)
+    ssingle = sp.permanent(spath, sparse=True, chunk_log2=8, lanes=128)
+    assert float(outs[0][4]) == pytest.approx(ssingle.permanent, rel=1e-10)

@@ -30,6 +30,7 @@ SWEEP = [
     ("exact_df64", dict(calc="df64"), 1e-9),
     ("exact_f32", dict(calc="f32"), 5e-2),
     ("exact_f64_host", dict(calc="f64"), 1e-9),
+    ("exact_sparse_auto", dict(sparse=True, calc="df64"), 1e-9),
     ("exact_sparse_sort", dict(sparse=True, preprocessing=1,
                                calc="df64"), 1e-9),
     ("exact_sparse_skip", dict(sparse=True, preprocessing=2,
@@ -45,7 +46,7 @@ SWEEP = [
                             number_of_times=50000), None),
 ]
 
-QUICK = {"exact_df64", "exact_f32", "exact_sparse_skip",
+QUICK = {"exact_df64", "exact_f32", "exact_sparse_auto",
          "exact_scaled_u2", "approx_scaling"}
 
 ORACLE = "exact_df64"

@@ -32,7 +32,7 @@ def test_accuracy_sweep_agrees(small_file, tmp_path):
     lines = [json.loads(x) for x in open(out)]
     assert {r["config"] for r in lines} >= {"exact_df64", "exact_f32",
                                             "approx_scaling"}
-    exact = [r for r in lines if r["config"] == "exact_sparse_skip"]
+    exact = [r for r in lines if r["config"] == "exact_sparse_auto"]
     assert exact and exact[0]["agrees"]
 
 

@@ -58,6 +58,109 @@ def permanent_batch_same_n(mats: np.ndarray, dtype=jnp.float64,
     return (4 * (n & 1) - 2) * sums
 
 
+def permanent_batch_pallas(mats: np.ndarray, calc: str = "df64",
+                           max_iters_per_call: float = 9e10) -> np.ndarray:
+    """(B, n, n) stack -> permanents via the serving-batch Pallas kernel.
+
+    Each matrix gets its own L lanes covering its whole 2^(n-1) index
+    space and its own column tables; 16 matrices share one pallas
+    program and the lane reduction happens on device, so the whole
+    batch costs one device round-trip of a few words per matrix.  The
+    prior XLA path emulated float64 on TPU at ~40 ms/matrix for n=20;
+    this runs the same tier ladder as the main engine (df64 default).
+
+    Matrices whose scaled total underflows the df64 range are re-run
+    through the full single-matrix engine (its underflow-retry loop
+    handles them); calls are split so no single device execution
+    exceeds ~20 s (the axon execution killer).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import gray
+    from .df64 import split_f64
+    from .ryser_pallas import batch_partials
+
+    mats = np.asarray(mats, dtype=np.float64)
+    B0, n, _ = mats.shape
+    df = calc == "df64"
+    kahan = calc == "f32k"
+    tf = calc == "tf96"
+    ints = bool(np.all(mats == np.round(mats)))
+    exact_storage = bool(ints and np.abs(mats).sum(axis=2).max() < 2 ** 22)
+    full_df = df and not exact_storage
+
+    ab = np.abs(mats)
+    xmax = ab[:, :, -1] + ab.sum(axis=2) / 2
+    with np.errstate(divide="ignore"):
+        s = np.ceil(np.log2(np.maximum(xmax, 1e-300)))
+    s = np.clip(s, -980, 980).astype(np.int64)          # (B0, n)
+    a_s = np.ldexp(mats, -s[:, :, None])
+    zero = (((mats != 0).sum(axis=2) == 0).any(axis=1)
+            | ((mats != 0).sum(axis=1) == 0).any(axis=1))
+
+    L = min(512, 1 << (n - 1 - 6))
+    r = (n - 1) - int(np.log2(L))
+    n_pad = gray.pad_n(n)
+    nb_pad = -(-(n - 1) // 128) * 128
+    B = -(-B0 // 16) * 16
+
+    x0 = a_s[:, :, -1] - a_s.sum(axis=2) / 2
+    x0p = np.ones((B, n_pad), dtype=np.float64)
+    x0p[:B0, :n] = x0
+    colsT = np.zeros((B, n - 1, n_pad), dtype=np.float64)
+    colsT[:B0, :, :n] = a_s[:, :, : n - 1].transpose(0, 2, 1)
+    colst = np.zeros((B, n_pad, nb_pad), dtype=np.float64)
+    colst[:B0, :n, : n - 1] = a_s[:, :, : n - 1]
+
+    x0_pair = np.stack(split_f64(x0p), axis=1)          # (B, 2, n_pad)
+    cols_pair = np.stack(split_f64(colsT), axis=1)      # (B, 2, n-1, n_pad)
+    cth, ctl = split_f64(colst)
+    ids = np.broadcast_to(np.arange(L, dtype=np.int32), (B, L)).copy()
+
+    interpret = jax.default_backend() != "tpu"
+    use_u16 = bool(r >= 5 and not interpret)
+    u = min(4 if (full_df or tf) else (5 if df else 7), r - 1) \
+        if use_u16 else 4
+    r_arr = jnp.asarray([r], dtype=jnp.int32)
+
+    # cap per-execution work (each matrix walks 2^(n-1) iters)
+    gmax = max(16, (int(max_iters_per_call) >> (n - 1)) & ~15)
+    rows = []
+    for i in range(0, B, gmax):
+        sl = slice(i, i + gmax)
+        xhi, xlo, smid = gray.chunk_init_batch(
+            jnp.asarray(ids[sl]), jnp.asarray(x0_pair[sl]),
+            jnp.asarray(cols_pair[sl]), n=n, n_pad=n_pad, r=r,
+            df=full_df)
+        out = batch_partials(r_arr, xhi, xlo, smid, jnp.asarray(cth[sl]),
+                             jnp.asarray(ctl[sl]), df=df,
+                             exact_storage=exact_storage, kahan=kahan,
+                             tf=tf, u=u, use_u16=use_u16,
+                             interpret=interpret)
+        rows.append(np.asarray(out)[..., 0])            # (g, 8)
+    o = np.concatenate(rows)[:B0]
+    if tf:
+        tot = (o[:, 0].astype(np.longdouble) + o[:, 1].astype(np.longdouble)
+               + o[:, 2].astype(np.longdouble))
+    else:
+        tot = o[:, 0].astype(np.float64) + o[:, 1].astype(np.float64)
+    sign = 4 * (n & 1) - 2
+    E = s.sum(axis=1)
+    with np.errstate(over="ignore"):
+        per = np.array([float(sign * np.ldexp(np.float64(t), int(e)))
+                        for t, e in zip(tot, E)])
+    per[zero] = 0.0
+    # underflowed totals: the single-matrix engine's retry loop recovers
+    # the lost terms
+    redo = np.nonzero(~zero & (np.abs(tot) < 2.0 ** -40))[0]
+    if len(redo):
+        from ..api import permanent
+        for i in redo:
+            per[i] = permanent(mats[i], calc=calc).permanent
+    return per
+
+
 def permanent_batch(mats: Sequence[np.ndarray], **overrides) -> List[Result]:
     """Exact permanents of a sequence of square matrices.
 
@@ -80,9 +183,17 @@ def permanent_batch(mats: Sequence[np.ndarray], **overrides) -> List[Result]:
             results[i] = permanent(m, **overrides)
     for n, idxs in groups.items():
         stack = np.stack([mats[i].astype(np.float64) for i in idxs])
-        vals = permanent_batch_same_n(stack)
+        if n >= 13:
+            # serving-batch Pallas kernel (16 matrices per program,
+            # device lane reduction) — also correct on CPU via the
+            # interpret-mode scalar walk
+            vals = permanent_batch_pallas(stack)
+            name = "ryser_pallas_batch"
+        else:
+            vals = permanent_batch_same_n(stack)
+            name = "ryser_xla_batch"
         dt = time.perf_counter() - t0
         for i, v in zip(idxs, vals):
-            results[i] = Result(float(v), dt, algo_name="ryser_xla_batch",
+            results[i] = Result(float(v), dt, algo_name=name,
                                 iterations=1 << (n - 1))
     return results

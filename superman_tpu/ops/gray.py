@@ -134,6 +134,31 @@ def chunk_init(chunk_ids, x0_pair, cols_pair, n: int, n_pad: int, r,
     return xhi * alive, xlo * alive, sign_mid
 
 
+@functools.partial(jax.jit, static_argnames=("n", "n_pad", "df"))
+def chunk_init_batch(chunk_ids, x0_pair, cols_pair, n: int, n_pad: int, r,
+                     df: bool):
+    """Per-MATRIX lane init for the serving batch: like chunk_init, but
+    x0_pair is (B, 2, n_pad) and cols_pair (B, 2, n-1, n_pad) — each of
+    the B matrices gets its own pack.  chunk_ids is (B, L)."""
+    dead = (chunk_ids < 0)
+    ids = jnp.where(dead, 0, chunk_ids)
+    bits_f = chunk_gray_bits(ids, n, r).astype(jnp.float32)  # (B, L, n-1)
+    xhi = jnp.broadcast_to(x0_pair[:, 0][:, :, None],
+                           ids.shape[:1] + (n_pad, ids.shape[1]))
+    xlo = jnp.broadcast_to(x0_pair[:, 1][:, :, None], xhi.shape)
+    for k in range(n - 1):
+        bk = bits_f[:, :, k][:, None, :]                     # (B, 1, L)
+        chi = cols_pair[:, 0, k][:, :, None] * bk
+        clo = cols_pair[:, 1, k][:, :, None] * bk
+        if df:
+            xhi, xlo = df64.df_add(xhi, xlo, chi, clo)
+        else:
+            xhi = xhi + chi
+    sign_mid = (1 - 2 * (ids & 1)).astype(jnp.float32)[:, None, :]
+    alive = jnp.where(dead, 0.0, 1.0).astype(jnp.float32)[:, None, :]
+    return xhi * alive, xlo * alive, sign_mid
+
+
 @functools.partial(jax.jit, static_argnames=("n", "nf_pad"))
 def factor_weights(chunk_ids, fx0_pair, fcols_pair, n: int, nf_pad: int,
                    r):

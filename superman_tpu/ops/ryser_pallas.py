@@ -66,21 +66,15 @@ def _ctz(m):
     return k
 
 
-def _ryser_kernel(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
-                  colstlo_ref, out_ref, *, df: bool, exact_storage: bool,
-                  kahan: bool = False, tf: bool = False):
-    """tf: triple-float (tf96) products + accumulation; requires
-    exact_storage (f32-exact x updates)."""
-    r = r_ref[0]
-    n_pad, L = xhi_ref.shape
-    nb_pad = colsthi_ref.shape[1]
-    smid = smid_ref[:]                       # (1, L)
-    colst_hi = colsthi_ref[:]                # (n_pad, nb_pad): lane k = col k
-    colst_lo = colstlo_ref[:] if df and not exact_storage else None
+def _walk_scalar(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
+                 exact_storage: bool, kahan: bool = False,
+                 tf: bool = False):
+    """Scalar (per-step ctz) walk over one (n_pad, L) lane block;
+    returns the (8, L) f32 output rows.  Bitwise-identical op sequence
+    to the unrolled walk; interpret mode uses this body."""
+    n_pad, L = xhi0.shape
+    nb_pad = colst_hi.shape[1]
     lane_k = lax.broadcasted_iota(jnp.int32, (n_pad, nb_pad), 1)
-
-    xhi0 = xhi_ref[:]
-    xlo0 = xlo_ref[:] if df and not exact_storage else jnp.zeros_like(xhi0)
 
     def prod_term(xhi, xlo):
         if tf:
@@ -139,7 +133,21 @@ def _ryser_kernel(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
     acc = out[2:]
 
     pad = jnp.zeros((8 - len(acc), L), dtype=jnp.float32)
-    out_ref[:] = jnp.concatenate([*acc, pad], axis=0)
+    return jnp.concatenate([*acc, pad], axis=0)
+
+
+def _ryser_kernel(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
+                  colstlo_ref, out_ref, *, df: bool, exact_storage: bool,
+                  kahan: bool = False, tf: bool = False):
+    """tf: triple-float (tf96) products + accumulation; requires
+    exact_storage (f32-exact x updates)."""
+    full_df = df and not exact_storage
+    xhi0 = xhi_ref[:]
+    xlo0 = xlo_ref[:] if full_df else jnp.zeros_like(xhi0)
+    out_ref[:] = _walk_scalar(
+        r_ref[0], xhi0, xlo0, smid_ref[:], colsthi_ref[:],
+        colstlo_ref[:] if full_df else None,
+        df=df, exact_storage=exact_storage, kahan=kahan, tf=tf)
 
 
 # Unrolled inner blocks: within an aligned block of U = 2**u steps
@@ -355,6 +363,37 @@ def _ryser_kernel_u16_multi(r_ref, xhi_ref, xlo_ref, smid_ref,
     lax.fori_loop(_I32(0), _I32(KB), body, _I32(0))
 
 
+def _ryser_kernel_batch(r_ref, xhi_ref, xlo_ref, smid_ref, cth_ref,
+                        ctl_ref, out_ref, *, df: bool, exact_storage: bool,
+                        kahan: bool = False, tf: bool = False, u: int = 4,
+                        use_u16: bool = True):
+    """Serving-batch kernel: KB different MATRICES per program, each with
+    its own column tables (cth_ref is (KB, n_pad, nb_pad)) and its own
+    L lanes covering its whole index space.  The reference has no batch
+    mode at all (one CLI process per matrix)."""
+    KB = xhi_ref.shape[0]
+    full_df = df and not exact_storage
+
+    def body(b, carry):
+        xhi0 = xhi_ref[b]
+        xlo0 = xlo_ref[b] if full_df else jnp.zeros_like(xhi0)
+        cth = cth_ref[b]
+        ctl = ctl_ref[b] if full_df else None
+        if use_u16:
+            out_ref[b] = _walk_u16(r_ref[0], xhi0, xlo0, smid_ref[b],
+                                   cth, ctl, df=df,
+                                   exact_storage=exact_storage,
+                                   kahan=kahan, tf=tf, u=u)
+        else:
+            out_ref[b] = _walk_scalar(r_ref[0], xhi0, xlo0, smid_ref[b],
+                                      cth, ctl, df=df,
+                                      exact_storage=exact_storage,
+                                      kahan=kahan, tf=tf)
+        return carry
+
+    lax.fori_loop(_I32(0), _I32(KB), body, _I32(0))
+
+
 def _merge_out8(a8, b8, *, df, kahan, tf):
     """Merge two (..., 8, L) kernel outputs lane-wise with the tier's
     compensated addition (same ops as the kernel's accumulator merge)."""
@@ -548,3 +587,62 @@ def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
                          exact_storage=exact_storage, kahan=kahan, tf=tf,
                          u=u, interpret=interpret, weighted=weighted,
                          reduce=reduce, allow_multi=allow_multi)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("df", "exact_storage", "kahan", "tf", "u", "use_u16",
+                     "interpret"))
+def batch_partials(r_arr, xhi, xlo, smid, cth, ctl, *, df: bool,
+                   exact_storage: bool, kahan: bool = False,
+                   tf: bool = False, u: int = 4, use_u16: bool = True,
+                   interpret: bool = False):
+    """Serving batch: B matrices, each walked by its own L lanes in one
+    program group (KB matrices per pallas program), lane-reduced on
+    device so the transfer is a few words per matrix.
+
+    xhi/xlo/smid: (B, n_pad, L) / (B, 1, L) per-matrix lane state;
+    cth/ctl:      (B, n_pad, nb_pad) per-matrix column tables.
+    Returns (B, 8, 1) f32: the tier's compensated lane-sum words.
+    """
+    B, n_pad, L = xhi.shape
+    nb_pad = cth.shape[2]
+    KB = 16 if B % 16 == 0 and B >= 16 else 1
+    kern = functools.partial(
+        _ryser_kernel_batch, df=df, exact_storage=exact_storage,
+        kahan=kahan, tf=tf, u=u, use_u16=use_u16)
+    out_sh = (KB, 8, L)
+    flops_per = 2 * n_pad * (10 if df else 1)
+    call = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(out_sh, jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=KB * L * (1 << 16) * flops_per,
+            bytes_accessed=KB * int(n_pad) * L * 4 * 3,
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+    def one_group(args):
+        gxhi, gxlo, gsmid, gcth, gctl = args
+        if KB == 1:
+            gxhi, gxlo = gxhi[None], gxlo[None]
+            gsmid, gcth, gctl = gsmid[None], gcth[None], gctl[None]
+        return call(r_arr, gxhi, gxlo, gsmid, gcth, gctl)
+
+    G = B // KB
+    out = lax.map(one_group, (xhi.reshape(G, KB, n_pad, L),
+                              xlo.reshape(G, KB, n_pad, L),
+                              smid.reshape(G, KB, 1, L),
+                              cth.reshape(G, KB, n_pad, nb_pad),
+                              ctl.reshape(G, KB, n_pad, nb_pad)))
+    out = out.reshape(B, 8, L)
+    # per-matrix lane reduction (compensated tree over the lane axis)
+    while out.shape[-1] > 1:
+        h = out.shape[-1] // 2
+        out = _merge_out8(out[..., :h], out[..., h:], df=df, kahan=kahan,
+                          tf=tf)
+    return out

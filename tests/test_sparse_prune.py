@@ -146,3 +146,25 @@ def test_tf96_factored_sparse_reduce():
     r = sp.permanent(a, calc="tf96", sparse=True, chunk_log2=6, lanes=256)
     assert r.meta.get("sparse") is not None
     assert r.permanent == pytest.approx(want, rel=1e-11)
+
+
+def test_batch_pallas_matches_oracle():
+    """Serving-batch kernel (16 matrices per program, per-matrix column
+    tables, device lane reduction) against the oracle, mixed content."""
+    from superman_tpu.ops.batch import permanent_batch_pallas
+    from superman_tpu.ops.oracle import perman64
+    rng = np.random.default_rng(2)
+    mats = []
+    for i in range(18):
+        if i % 3 == 0:
+            m = (rng.random((16, 16)) < 0.4) * rng.integers(1, 5, (16, 16))
+        elif i % 3 == 1:
+            m = rng.random((16, 16)) * (rng.random((16, 16)) < 0.6)
+        else:
+            m = (rng.random((16, 16)) < 0.15) * rng.integers(1, 3, (16, 16))
+        mats.append(m.astype(np.float64))
+    mats[5][3, :] = 0.0
+    got = permanent_batch_pallas(np.stack(mats))
+    for i, m in enumerate(mats):
+        want = float(perman64(m))
+        assert got[i] == pytest.approx(want, rel=1e-8, abs=1e-300), i

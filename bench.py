@@ -54,8 +54,9 @@ def main():
     # the same matrix anchors the sparse-vs-dense speedup
     sdm = read_triplet("/root/reference/int/32_0.20_0")
     SPARSE_VALID = 3.0796642024820435e+27   # native double, SUITE_REPORT
-    sp.permanent(sdm, calc="df64")
-    sdense = best_of(lambda: sp.permanent(sdm, calc="df64"))
+    sp.permanent(sdm, calc="df64", skip_pruning=False)
+    sdense = best_of(lambda: sp.permanent(
+        sdm, calc="df64", skip_pruning=False))
     sp.permanent(sdm, sparse=True, calc="df64")
     sparse = best_of(lambda: sp.permanent(sdm, sparse=True, calc="df64"))
 

@@ -193,7 +193,15 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
     factor_rows = None
     alive_rows = None
     sparse_meta = None
-    if chunk_ids is None and flags.sparse and flags.skip_pruning:
+    # auto-sparse: on clearly sparse inputs the pruned engine engages
+    # even without -s (the planner declines when unprofitable, and its
+    # candidate evaluation costs ~20-40 ms, only worth it at n >= 28
+    # where the dense walk is >= 0.1 s).  skip_pruning=False forces the
+    # pure dense walk (benchmark baseline).
+    density = np.count_nonzero(a) / max(1, a.size)
+    auto_sparse = n >= 28 and density < 0.30
+    if chunk_ids is None and (flags.sparse or auto_sparse) \
+            and flags.skip_pruning:
         from .pruning import plan_sparse
         # row factoring works on the single-device, mesh and multi-host
         # engines (each shard derives its weights on device from its id

@@ -45,11 +45,14 @@ def run(files, out=None, log=print, repo_root="/root/repo"):
                 continue
             want = sp.permanent(path, calc="f64", cpu=True,
                                 gpu=False).permanent
-        sp.permanent(path, calc="df64")                  # warm dense
+        # skip_pruning=False forces the pure dense walk (the
+        # engine auto-engages sparse on these inputs otherwise)
+        sp.permanent(path, calc="df64", skip_pruning=False)
         t = []
         for _ in range(2):
             t0 = time.perf_counter()
-            dres = sp.permanent(path, calc="df64")
+            dres = sp.permanent(path, calc="df64",
+                                skip_pruning=False)
             t.append(time.perf_counter() - t0)
         dense_wall = min(t)
         sp.permanent(path, sparse=True, calc="df64")     # warm sparse

@@ -208,9 +208,11 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
         # slice); only the hybrid scheduler keeps the full-row walk —
         # it journals unweighted unit sums
         allow_factor = not (flags.hybrid or flags.checkpoint_path)
-        sp = plan_sparse(a, chunk_log2=flags.chunk_log2,
-                         df=df or tf, allow_factor=allow_factor,
-                         giters=4.5 if (df or tf) else 21.0)
+        from ..utils import trace as _trace
+        with _trace.timer("sparse_plan"):
+            sp = plan_sparse(a, chunk_log2=flags.chunk_log2,
+                             df=df or tf, allow_factor=allow_factor,
+                             giters=4.5 if (df or tf) else 21.0)
         if sp is not None:
             a = np.ascontiguousarray(a[:, sp.col_perm])
             chunk_ids = sp.ids
@@ -290,9 +292,11 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
                     dtype=np.longdouble if tf else np.float64)
 
             factors = (fx0_pair, fcols_pair, nf_pad, host_fn)
-        a_pack = a_s[alive_rows] if factor_rows is not None else a_s
-        x0_pair, cols_pair = gray.pack_matrix(a_pack, plan.n_pad)
-        cth, ctl = colst_pack(a_pack, plan.n_pad)
+        from ..utils import trace as _trace
+        with _trace.timer("pack"):
+            a_pack = a_s[alive_rows] if factor_rows is not None else a_s
+            x0_pair, cols_pair = gray.pack_matrix(a_pack, plan.n_pad)
+            cth, ctl = colst_pack(a_pack, plan.n_pad)
         # a checkpoint path routes through the journaling scheduler even
         # without the CPU helper (TPU-only unit queue)
         if flags.hybrid or flags.checkpoint_path:

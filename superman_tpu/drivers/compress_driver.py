@@ -49,9 +49,14 @@ def compress_and_calculate_recursive(dense: DenseMatrix, flags) -> Result:
     if flags.scaling_threshold != -1.0:
         from .scale_driver import scale_and_calculate
         return scale_and_calculate(dense, flags, compressing=True)
-    if _magnitude_imbalanced(dense.mat) and (dense.mat >= 0).all():
+    if _magnitude_imbalanced(dense.mat) and (dense.mat >= 0).all() \
+            and flags.resolved_calc() not in ("f32", "f32k"):
         # (nonneg only: Sinkhorn preconditioning cannot fix signed
-        # cancellation, and its sums may hit zero/negative mid-iteration)
+        # cancellation, and its sums may hit zero/negative mid-iteration.
+        # double-class calcs only: scaling to unit row/col sums makes
+        # per(B) astronomically small for huge-entry matrices, below the
+        # f32-class tiers' resolution — the exact unscale then amplifies
+        # pure noise, up to +-inf; found by fuzzing)
         # d2 merges concentrate magnitude; the resulting within-line
         # spread makes the Ryser sum cancellation-bound beyond ANY
         # double-class arithmetic (found by fuzzing: exact 2.8e-194

@@ -46,16 +46,16 @@ def pad_n(n: int) -> int:
 def make_plan(n: int, lanes: int = 1024, chunk_log2=None, *,
               df: bool = False, num_shards: int = 1, min_blocks: int = 1,
               sparse: bool = False) -> RyserPlan:
-    """Chunk-decomposition planner.
+    """Chunk-decomposition planner (dense walks).
 
     Tuned on v5e-class hardware (n=32 sweep): the kernel is fastest with
     few LARGE programs — df64 peaks at 512 lanes x 2^22-step chunks, f32
     at 1024 x 2^21 — so the default is one block per shard, capped at
-    2^31 Gray steps per program.  Sparse matrices instead keep chunks
-    SHORT (r = n-18) because chunk-granular dead-range pruning
-    (ops/pruning.py) needs rows that are constant across a chunk, and the
-    probability of that decays with 2^r.  min_blocks over-decomposes for
-    the dynamic hybrid scheduler.
+    2^31 Gray steps per program.  min_blocks over-decomposes for the
+    dynamic hybrid scheduler.  sparse keeps the round-1 short-chunk
+    default (r = n-18) for direct live_chunks callers; the engine's
+    sparse plans now come from ops/pruning.plan_sparse, which picks r
+    with a measured cost model instead.
     """
     total = n - 1
     if chunk_log2 is None:

@@ -66,10 +66,17 @@ def compress_and_calculate_recursive(dense: DenseMatrix, flags) -> Result:
         import dataclasses
         from .scale_driver import scale_and_calculate
         from ..utils import trace
+        # adaptive threshold: per(B(t)) = t^n * per(B(1)) exactly (the
+        # Sinkhorn point is unique up to the scalar), so pick t to land
+        # the scaled permanent near 2^-12 — threshold 1.0 can push it to
+        # e.g. 2^-392 for huge-entry matrices, beyond ANY walk tier's
+        # cancellation resolution (found by fuzzing: +-inf after the
+        # exact unscale amplified pure noise)
+        thr = _auto_threshold(dense.mat)
         trace.log("compressed matrix is magnitude-imbalanced; "
-                  "auto-applying Sinkhorn preconditioning", level=1)
+                  f"auto-applying Sinkhorn (threshold {thr:.3g})", level=1)
         return scale_and_calculate(
-            dense, dataclasses.replace(flags, scaling_threshold=1.0),
+            dense, dataclasses.replace(flags, scaling_threshold=thr),
             compressing=True)
     from .runner import run_algo
     return run_algo(dense, flags)
@@ -102,3 +109,25 @@ def compress_singleton_and_then_recurse(dense: DenseMatrix, flags) -> Result:
             if a.size and C.has_empty_line(a):
                 return Result(0.0, 0.0, algo_name="rank_deficient_zero")
     return compress_and_calculate_recursive(_as_dm(a, dense.type), flags)
+
+
+def _auto_threshold(a: np.ndarray) -> float:
+    """Sinkhorn threshold that centers the scaled permanent near 2^-12.
+
+    log2 per(B(1)) ~ est(log2 per(A)) + log2 prod(r)prod(c) at threshold
+    1; per(B(t)) = t^n per(B(1)), so t = 2^((target - that)/n).  The
+    probe is crude (a few greedy trials) — a miss costs only the
+    engine's underflow-retry, as before.
+    """
+    from ..ops.ryser import _log2_perm_estimate
+    from ..prep.scaling import scalesk
+
+    n = a.shape[0]
+    est = _log2_perm_estimate(a)
+    if est is None or not np.isfinite(est):
+        return 1.0
+    lp1 = scalesk(np.asarray(a, dtype=np.float64), 1.0).log2_product()
+    if not np.isfinite(lp1):
+        return 1.0
+    shift = (-12.0 - (est + lp1)) / max(1, n)
+    return float(2.0 ** np.clip(shift, -40.0, 40.0))

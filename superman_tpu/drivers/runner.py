@@ -34,8 +34,45 @@ def run(dense: DenseMatrix, flags: Flags) -> Result:
         return scale_and_calculate(dense, flags)
     if flags.compression:
         from .compress_driver import compress_singleton_and_then_recurse
-        return compress_singleton_and_then_recurse(dense, flags)
+        res = compress_singleton_and_then_recurse(dense, flags)
+        return _compression_sanity(dense, flags, res)
     return run_algo(dense, flags)
+
+
+def _compression_sanity(dense: DenseMatrix, flags: Flags,
+                        res: Result) -> Result:
+    """Bail out of a numerically broken compression pipeline.
+
+    d2 merges multiply entries; the compressed matrix (and a Sinkhorn
+    rescale of it) can be cancellation-catastrophic — needing 300+ bits
+    where the ORIGINAL matrix walks fine (found by fuzzing: entries
+    1e12, exact per 4.3e262, compressed+scaled pipeline off by 1e90 at
+    every precision incl. the long-double oracle).  Compression
+    preserves the permanent exactly, so the result must sit within the
+    magnitude probe's error of the original matrix's estimate; a 60-bit
+    miss (probe error is ~a few bits on nonneg matrices) means the
+    pipeline lost the value — recompute with the direct engine.
+    """
+    import numpy as np
+
+    from ..ops.ryser import _log2_perm_estimate
+    from ..utils import trace
+
+    est = _log2_perm_estimate(np.abs(np.asarray(dense.mat,
+                                                dtype=np.float64)))
+    p = res.permanent
+    suspicious = not np.isfinite(p)
+    if not suspicious and est is not None and np.isfinite(est) and p != 0:
+        suspicious = abs(float(np.log2(abs(p))) - est) > 60.0
+    if not suspicious:
+        return res
+    trace.log("compression result fails the magnitude sanity check; "
+              "re-running the direct engine on the uncompressed matrix",
+              level=1)
+    import dataclasses
+    direct = run_algo(dense, dataclasses.replace(flags, compression=False))
+    direct.meta["compression_bailout"] = True
+    return direct
 
 
 def run_algo(dense: DenseMatrix, flags: Flags) -> Result:

@@ -47,3 +47,38 @@ def test_pm1_cancellation_exact(rng):
     want = sp.permanent(a, cpu=True, gpu=False, calc="f64").permanent
     got = sp.permanent(a, calc="df64", chunk_log2=6, lanes=256).permanent
     assert got == pytest.approx(want, abs=max(1e-6 * abs(want), 1e-3))
+
+
+def test_compression_sanity_bailout(rng):
+    """Found by fuzzing: d2 merges + auto-Sinkhorn can create a matrix
+    needing 300+ bits of cancellation where the ORIGINAL walks fine; the
+    runner re-runs the direct engine when the compressed result misses
+    the magnitude probe by > 60 bits (or is non-finite)."""
+    import dataclasses
+    from superman_tpu.core.flags import Flags
+    from superman_tpu.core.matrix import DenseMatrix
+    from superman_tpu.core.result import Result
+    from superman_tpu.drivers.runner import _compression_sanity
+    from superman_tpu.ops.oracle import perman64
+    from tests.conftest import random_int_matrix
+
+    a = random_int_matrix(rng, 14, 0.5, vmax=3).astype(np.float64)
+    np.fill_diagonal(a, 1)
+    dm = DenseMatrix(a, "double")
+    flags = Flags(compression=True)
+    want = float(perman64(a))
+
+    # a wildly wrong (1e90 off) result triggers the direct re-run
+    bad = Result(want * 1e90, 0.0, algo_name="compressed")
+    fixed = _compression_sanity(dm, flags, bad)
+    assert fixed.meta.get("compression_bailout")
+    assert fixed.permanent == pytest.approx(want, rel=1e-9)
+
+    # inf triggers it too
+    bad2 = Result(float("inf"), 0.0, algo_name="compressed")
+    fixed2 = _compression_sanity(dm, flags, bad2)
+    assert np.isfinite(fixed2.permanent)
+
+    # a sane result passes through untouched
+    good = Result(want, 0.0, algo_name="compressed")
+    assert _compression_sanity(dm, flags, good) is good

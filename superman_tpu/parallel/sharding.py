@@ -120,7 +120,10 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
     per_block = ids_blocks.shape[1] << r
     if not interpret and B > nsh and B * per_block > cap_iters:
         g = max(1, cap_iters // per_block, nsh)
-        g = 1 << (int(g).bit_length() - 1)          # pow2 floor
+        if nsh & (nsh - 1) == 0:
+            g = 1 << (int(g).bit_length() - 1)      # pow2 floor
+        else:                      # non-pow2 mesh: keep shard-divisible
+            g = max(nsh, (int(g) // nsh) * nsh)
         parts = [compute_partials(
             ids_blocks[i:i + g], x0_pair, cols_pair, colst_hi,
             colst_lo, plan, df=df, exact_storage=exact_storage,

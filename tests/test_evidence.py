@@ -25,6 +25,7 @@ _THRESH = {
     "SUITE_REPORT_FULL.jsonl": None,       # per-calc below
     "SUITE_REPORT_DOUBLE.jsonl": 1e-7,
     "SUITE_REPORT_TF96.jsonl": 1e-11,
+    "SUITE_REPORT_R2.jsonl": 1e-8,
 }
 _CALC_THRESH = {"df64": 1e-8, "tf96": 1e-11, "f32k": 1e-3, "f32": 5e-2,
                 "quad": 1e-11}

@@ -11,10 +11,13 @@
 extern "C" {
 #endif
 
-/* direct engines: a is a row-major n*n double array */
+/* direct engines: a is a row-major n*n double array.
+ * calc_quad: 0 = double walk + long-double accumulate, 1 = __float128
+ * walk (reference -q).  tests/test_tools.py compiles the engine with
+ * this header included, so any signature drift fails CI. */
 double sup_perman_dense(const double* a, int n, int threads, int calc_quad);
-double sup_perman_sparse(const double* a, int n, int threads);
-double sup_perman_skipper(const double* a, int n, int threads);
+double sup_perman_sparse(const double* a, int n, int threads, int calc_quad);
+double sup_perman_skipper(const double* a, int n, int threads, int calc_quad);
 double sup_perman_dense_chunks(const double* a, int n,
                                const long long* chunk_ids, long long count,
                                int r, int threads);

@@ -81,6 +81,10 @@ class Flags:
     checkpoint_path: Optional[str] = None
     #: relative-accuracy target for calc="auto" escalation
     auto_target: float = 1e-9
+    #: SMC population estimator for the scaling approximation:
+    #: -1 auto (engage at n >= 64, where plain SIS dies by attrition),
+    #: 0 never, 1 always (ops/approx.py:_smc_population)
+    smc: int = -1
     #: PRNG seed for approximation algorithms
     seed: int = 0
 

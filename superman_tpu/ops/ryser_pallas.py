@@ -627,10 +627,9 @@ def batch_partials(r_arr, xhi, xlo, smid, cth, ctl, *, df: bool,
     )
 
     def one_group(args):
+        # lax.map strips the G axis, so each element already carries the
+        # KB axis — (KB, n_pad, L) — for every KB including KB == 1.
         gxhi, gxlo, gsmid, gcth, gctl = args
-        if KB == 1:
-            gxhi, gxlo = gxhi[None], gxlo[None]
-            gsmid, gcth, gctl = gsmid[None], gcth[None], gctl[None]
         return call(r_arr, gxhi, gxlo, gsmid, gcth, gctl)
 
     G = B // KB

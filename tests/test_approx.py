@@ -96,6 +96,11 @@ def test_hybrid_approx_with_cpu(rng):
     assert r.iterations >= 30000
     assert r.permanent == pytest.approx(want, rel=0.2)
     assert r.algo_name.endswith("_hybrid")
+    # stderr is computed over accelerator trials ONLY; merging the CPU
+    # sum first used to inflate the accelerator mean and clamp the
+    # reported stderr toward 0 (round-2 advisor, approx.py:348)
+    if r.meta.get("cpu_trials", 0) and r.meta["trials"] > r.meta["cpu_trials"]:
+        assert r.meta["stderr"] is not None and r.meta["stderr"] > 0
 
 
 def test_hybrid_approx_trial_budget(rng):

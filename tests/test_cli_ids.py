@@ -131,3 +131,27 @@ def test_grid_multip_wired():
     # different r -> different partial grouping: df64-tolerance equality
     # (bitwise holds only for identical grouping, see test_sharding.py)
     assert multi.permanent == pytest.approx(base.permanent, rel=1e-10)
+
+
+def test_run_does_not_mutate_caller_flags(rng):
+    """run() resolves id behavior into a private Flags copy (round-2
+    advisor: sparse/hybrid/perman_algo used to stick to the caller's
+    object, so a reused Flags drifted between permanent() calls)."""
+    import dataclasses
+
+    import numpy as np
+
+    from superman_tpu.core.flags import Flags
+    from superman_tpu.core.matrix import DenseMatrix
+    from superman_tpu.drivers.runner import run
+
+    a = np.asarray((rng.random((8, 8)) < 0.7) * 1, dtype=np.int64)
+    f = Flags(perman_algo=2, approximation=True, number_of_times=200,
+              seed=3)
+    before = dataclasses.asdict(f)
+    r1 = run(DenseMatrix(a, "int"), f)
+    after = dataclasses.asdict(f)
+    before.pop("algo_name"), after.pop("algo_name")  # reporting field
+    assert before == after
+    r2 = run(DenseMatrix(a, "int"), f)
+    assert r1.algo_name == r2.algo_name

@@ -59,16 +59,18 @@ def test_bench_records_meet_baseline():
     latest = json.load(open(paths[-1]))
     parsed = latest.get("parsed") or latest
     assert parsed["vs_baseline"] >= 1.0, parsed
-    assert parsed["value"] >= 4.0, parsed      # G iters/s df64 per chip
+    # ratcheted to round-2 achievement (df64 4.49 G recorded; a slide
+    # back toward the round-1 floor must fail CI — round-2 verdict #8)
+    assert parsed["value"] >= 4.3, parsed      # G iters/s df64 per chip
     det = parsed.get("detail", {})
     if "rel_err_vs_native_double" in det:
         assert det["rel_err_vs_native_double"] <= 1e-8
     # once a round records the new sparse engine, its floor is guarded:
     # well under the 0.563 s reference CPU SkipPer best, and faster
-    # than the dense engine on the same matrix
+    # than the dense engine on the same matrix (recorded: 0.241 s, 1.98x)
     if "sparse_vs_dense_speedup" in det:
-        assert det["sparse_n32_d020_wall_s"] < 0.45
-        assert det["sparse_vs_dense_speedup"] > 1.1
+        assert det["sparse_n32_d020_wall_s"] < 0.30
+        assert det["sparse_vs_dense_speedup"] > 1.7
         assert det["sparse_rel_err"] <= 1e-8
 
 
@@ -86,12 +88,33 @@ def test_sparse_report_meets_targets():
         assert rel is not None and rel <= 1e-8, d
         assert d["speedup"] >= 1.1, d
     mean = sum(d["speedup"] for d in rows) / len(rows)
-    assert mean >= 1.4
+    # round-2 recorded mean 2.58x over the 12-matrix sweep; ratcheted
+    assert mean >= 2.0
     # the n=40 anchor row (validated against the TPU dense walk)
     n40 = [d for d in _lines(path) if d.get("file") == "40_0.10_0"]
     if n40:
         assert n40[-1]["rel_diff_vs_tpu_dense"] <= 1e-8
         assert n40[-1]["sparse_wall_s"] < 60
+
+
+def test_real_matrix_suite_clean():
+    """The reference's known-answer real-matrix corpus (SURVEY §4.3:
+    elektrik known_perman + real/ triplets + matrices/) recorded on
+    hardware by tools/real_suite.py: every config row must hold its
+    tier contract vs the cross-engine arbiter (round-2 verdict #1)."""
+    path = os.path.join(ROOT, "SUITE_REPORT_REAL.jsonl")
+    if not os.path.exists(path):
+        pytest.skip("no real-matrix report yet")
+    rows = _lines(path)
+    files = {d["file"] for d in rows}
+    # all 6 known_perman + all 4 real/ + >= 10 of matrices/
+    assert len({f for f in files if f.endswith(".mtxzero")}) >= 4
+    assert len(files) >= 20
+    bad = [d for d in rows if d["status"] != "ok"]
+    assert not bad, bad[:3]
+    # the exact-feasible classes must dominate (estimator-only rows are
+    # the n>=48 frontier files)
+    assert sum(d["class"] in ("A", "B") for d in rows) >= 15
 
 
 def test_multichip_records_ok():

@@ -102,3 +102,29 @@ def test_quad_agrees_with_tf96(rng):
     q = sp.permanent(a, calc="quad", threads=4)
     t = sp.permanent(a, calc="tf96", chunk_log2=6, lanes=256)
     assert q.permanent == pytest.approx(t.permanent, rel=1e-12)
+
+
+def test_native_estimators_beyond_64(rng):
+    """n > 64 used to shift a uint64_t mask out of range (UB, silently
+    corrupt means in hybrid grid runs — round-2 verdict weak #1); the
+    byte-flag liveness has no width limit.  A block-permutation matrix
+    with weighted diagonal has a closed-form permanent at any n."""
+    import ctypes
+    lib = native.load()
+    n = 70
+    # permutation structure with weights: per = prod of the weights
+    perm = rng.permutation(n)
+    w = rng.integers(1, 4, size=n).astype(np.float64)
+    a = np.zeros((n, n))
+    a[np.arange(n), perm] = w
+    a = np.ascontiguousarray(a)
+    want = float(np.prod(w))
+    zeros = ctypes.c_double()
+    # every step is forced (min degree 1), so both estimators are exact
+    est_r = lib.sup_rasmussen((a != 0).astype(np.float64), n, 64, 2, 7,
+                              ctypes.byref(zeros))
+    assert est_r == pytest.approx(1.0, rel=1e-12)       # support permanent
+    assert zeros.value == 0
+    est_s = lib.sup_approx_scaling(a, n, 64, 4, 2, 2, 7,
+                                   ctypes.byref(zeros))
+    assert est_s == pytest.approx(want, rel=1e-9)

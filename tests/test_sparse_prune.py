@@ -168,3 +168,32 @@ def test_batch_pallas_matches_oracle():
     for i, m in enumerate(mats):
         want = float(perman64(m))
         assert got[i] == pytest.approx(want, rel=1e-8, abs=1e-300), i
+
+
+def test_batch_small_groups_kb1():
+    """Groups below 16 matrices run as KB=1 per-matrix pallas programs
+    (round-2 advisor: the [None] expansion in one_group double-added the
+    KB axis).  A tiny per-call budget forces 3-matrix slices."""
+    from superman_tpu.ops.batch import permanent_batch_pallas
+    from superman_tpu.ops.oracle import perman64
+    rng = np.random.default_rng(7)
+    mats = [((rng.random((14, 14)) < 0.5) * rng.integers(1, 4, (14, 14)))
+            .astype(np.float64) for _ in range(5)]
+    got = permanent_batch_pallas(np.stack(mats),
+                                 max_iters_per_call=3 * (1 << 13))
+    for i, m in enumerate(mats):
+        assert got[i] == pytest.approx(float(perman64(m)), rel=1e-8), i
+
+
+def test_batch_calc_override_stays_batched():
+    """permanent_batch(mats, calc=...) must keep the serving-batch path
+    (round-2 verdict weak #5: overrides silently dropped grouping)."""
+    import superman_tpu as sp
+    from superman_tpu.ops.oracle import perman64
+    rng = np.random.default_rng(8)
+    mats = [((rng.random((14, 14)) < 0.6) * rng.random((14, 14)))
+            .astype(np.float64) for _ in range(4)]
+    out = sp.permanent_batch(mats, calc="f32k")
+    for m, r in zip(mats, out):
+        assert r.algo_name == "ryser_pallas_batch_f32k"
+        assert r.permanent == pytest.approx(float(perman64(m)), rel=1e-3)

@@ -70,6 +70,12 @@ def test_native_header_matches_library(tmp_path):
     exe = tmp_path / "check"
     subprocess.run(["gcc", str(src), lib, "-o", str(exe)], check=True)
     subprocess.run([str(exe)], check=True)
+    # signature-drift gate (round-2 verdict weak #2): compiling the
+    # engine WITH the public header included makes any declared-vs-
+    # defined mismatch a hard C++ "conflicting declaration" error
+    subprocess.run(["g++", "-fsyntax-only", "-fopenmp", "-include", hdr,
+                    os.path.join(os.path.dirname(nb.__file__),
+                                 "perman_cpu.cpp")], check=True)
 
 
 def test_fuzz_harness_smoke():

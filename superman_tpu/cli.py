@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calc", type=str, default=None,
                    choices=("f32", "f32k", "df64", "tf96", "f64", "quad"))
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--smc", type=int, default=-1, choices=(-1, 0, 1),
+                   help="SMC population estimator for -a scaling: "
+                        "-1 auto (n>=64), 0 off, 1 on")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="journal finished work units here and resume "
                         "from it (hybrid scheduler)")
@@ -102,7 +105,7 @@ def flags_from_args(args) -> Flags:
         compression=args.compression, scaling_threshold=args.scaling,
         gpu_num=args.device, device_id=args.deviceid,
         rep=args.rep, grid_multip=args.gridmultip,
-        mesh_shape=mesh_shape, seed=args.seed,
+        mesh_shape=mesh_shape, seed=args.seed, smc=args.smc,
         hybrid=hybrid, checkpoint_path=args.checkpoint,
         filename=args.file or "",
     )

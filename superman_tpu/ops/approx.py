@@ -357,10 +357,14 @@ def _approximate_smc(a: np.ndarray, flags) -> Result:
     lz = np.asarray(logzs, np.float64)
     mx = float(np.max(lz))
     if not np.isfinite(mx):
-        est_l2, est, stderr = -np.inf, 0.0, 0.0
+        est_l2, est, stderr, stderr_rel = -np.inf, 0.0, 0.0, 0.0
     else:
         zs = np.exp2(lz - mx)                     # O(1) values
         est_l2 = mx + float(np.log2(np.mean(zs)))
+        # relative stderr is finite even when the estimate overflows
+        # f64 (bcsstk01-scale permanents ~1e400)
+        stderr_rel = float(np.std(zs, ddof=1)
+                           / (np.mean(zs) * np.sqrt(pops)))
         with np.errstate(over="ignore"):
             est = float(np.exp2(est_l2)) + 0.0
             stderr = float(np.exp2(mx)
@@ -372,7 +376,8 @@ def _approximate_smc(a: np.ndarray, flags) -> Result:
                   meta={"trials": total, "populations": pops,
                         "scale_intervals": flags.scale_intervals,
                         "scale_times": flags.scale_times,
-                        "stderr": stderr, "log2_estimate": est_l2,
+                        "stderr": stderr, "stderr_rel": stderr_rel,
+                        "log2_estimate": est_l2,
                         "pop_log2": [float(v) for v in lz],
                         "cpu_trials": 0})
 

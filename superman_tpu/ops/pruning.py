@@ -184,13 +184,22 @@ def plan_sparse(a: np.ndarray, *, chunk_log2=None,
         giters = 4.5 if df else 21.0         # measured, one v5e chip
     t_iter = 1.0 / (giters * 1e9)
     c_chunk = 80e-9          # init + residual transfer per chunk
+    c_mask = 5e-8            # host dead-mask cost per gray-space entry
     dense_iters = float(1 << (n - 1))
     dense_cost = dense_iters * t_iter
     if chunk_log2 is not None:
         r_cands = [int(chunk_log2)]
     else:
+        # deeper r (shorter chunks) exposes more constant rows — on very
+        # sparse structured matrices (will57's d1/d2 core: n=49, 251
+        # nnz) the live fraction keeps halving down to r ~ n-26, turning
+        # an infeasible walk into minutes.  The exact-mask host cost is
+        # 2^(n-1-r) entries, so it joins the cost model below and the
+        # gray-space tensor is capped at 2^26 entries (~64 MB).
         r_cands = sorted({min(max(7, rr), n - 3)
-                          for rr in (n - 22, n - 20, n - 18, n - 16)})
+                          for rr in (n - 26, n - 24, n - 22, n - 20,
+                                     n - 18, n - 16)
+                          if n - 1 - rr <= 26})
     best = None              # (cost, r, perm, est_live)
     for r in r_cands:
         for perm in prune_order(a, r):
@@ -203,7 +212,8 @@ def plan_sparse(a: np.ndarray, *, chunk_log2=None,
                 _, pat = _row_pat(ap, int(z), r)
                 live_p *= 1.0 - float((pat == 0.0).mean())
             chunks = float(1 << (n - 1 - r))
-            cost = live_p * (dense_iters * t_iter + chunks * c_chunk)
+            cost = (live_p * (dense_iters * t_iter + chunks * c_chunk)
+                    + chunks * c_mask)
             if best is None or cost < best[0]:
                 best = (cost, r, perm, live_p)
     # an explicit chunk_log2 is a user override: prune whenever anything

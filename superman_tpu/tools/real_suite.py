@@ -47,8 +47,10 @@ SMALL_DIR = "/root/reference/revised_perman/matrices"
 
 #: dense-walk feasibility bound: 2^(n-1) iters at ~4.5 G/s, capped ~30 s
 EXACT_MAX_N = 39
-#: native CPU (single-core host) cross-check bound
-NATIVE_MAX_N = 36
+#: native CPU (single-core host) cross-check bound; 37 keeps cage5_c2
+#: (double-typed, so tf96 falls back to df64 and cannot arbitrate it)
+#: under an independent engine at ~1 min of single-core SkipPer
+NATIVE_MAX_N = 37
 
 
 def corpus():
@@ -92,15 +94,26 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
 
     failures = 0
     rows = []
+    # rows stream to .partial (a kill keeps the evidence); the final
+    # rename keeps the evidence guard from reading an in-flight file
+    out_f = open(out_path + ".partial", "w")
+
+    def emit(row):
+        rows.append(row)
+        out_f.write(json.dumps(row) + "\n")
+        out_f.flush()
+
     files = corpus()
+    # exact classes first (known compile behavior); big estimator-only
+    # files last, so a backend wedge cannot lose the exact evidence
+    def _ord(p):
+        with open(p) as fh:
+            for line in fh:
+                if not line.startswith("%"):
+                    return int(line.split()[0])
+    files = sorted(files, key=_ord)
     if quick:
-        # smoke mode (CPU-friendly): the 4 smallest-order files only
-        def _order(p):
-            with open(p) as f:
-                for line in f:
-                    if not line.startswith("%"):
-                        return int(line.split()[0])
-        files = sorted(files, key=_order)[:4]
+        files = files[:4]          # smoke mode: the 4 smallest orders
     for path in files:
         name = os.path.basename(path)
         dm = read_any(path, 0, 0, 0)
@@ -116,7 +129,7 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
             # structurally singular: every engine must return 0
             r = sp.permanent(a, compression=True)
             ok = r.permanent == 0.0
-            rows.append({**base, "class": "Z", "config": "compression",
+            emit({**base, "class": "Z", "config": "compression",
                          "value": r.permanent, "wall_s": round(r.time, 3),
                          "status": "ok" if ok else "FAIL",
                          "ref_value": 0.0, "ref_source": "no_perfect_matching"})
@@ -129,27 +142,82 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
         elif core_n <= 30:
             cls = "B"
         else:
+            # sparse-feasible core (e.g. will57: n=57, d1/d2 core n=49
+            # whose live fraction is <1% at deep r): exact via the
+            # compression driver + pruned sparse engine
             cls = "C"
+            if core_n <= EXACT_MAX_N + 12:
+                from ..ops.pruning import plan_sparse
+                spn = plan_sparse(core, df=True)
+                if spn is not None:
+                    est = ((1.0 - spn.dead_frac) * (1 << (core_n - 1))
+                           / 4.5e9)
+                    if est < 1200:
+                        cls = "B2"
+                        log(f"{name}: sparse-feasible core (n={core_n}, "
+                            f"dead={spn.dead_frac:.3f}, est {est:.0f} s)")
+
+        if cls == "B2":
+            # exact, arbitrated by a faster independent tier (f32k) at
+            # its contract; df64 is the canonical recorded value
+            vals = {}
+            for cfg, kw in [("compression", {"compression": True}),
+                            ("compression_f32k",
+                             {"compression": True, "calc": "f32k"})]:
+                t0 = time.perf_counter()
+                try:
+                    r = sp.permanent(path, **kw)
+                    vals[cfg] = (float(r.permanent),
+                                 time.perf_counter() - t0)
+                except Exception as e:
+                    vals[cfg] = (None, time.perf_counter() - t0)
+                    log(f"{name}/{cfg}: EXCEPTION {e!r}")
+            ref_val = vals["compression"][0]
+            for cfg, (v, w) in vals.items():
+                if v is None or ref_val is None:
+                    status, rel = "EXCEPTION", None
+                else:
+                    rel = _rel(v, ref_val)
+                    status = "ok" if rel <= 1e-3 else "FAIL"
+                emit({**base, "class": cls, "config": cfg,
+                             "value": v, "wall_s": round(w, 3),
+                             "status": status, "rel_err_vs_ref": rel,
+                             "ref_value": ref_val,
+                             "ref_source": "df64_vs_f32k_cross"})
+                failures += status != "ok"
+                log(f"{name}/{cfg}: {v} rel={rel} [{status}] {w:.0f}s")
+            continue
 
         if cls in ("A", "B"):
             # exact DFS on the folded core — engine-independent truth
             # (d1/d2 folding preserves the permanent exactly)
             ref_val, ref_src = None, None
-            if core_n <= 26:
+            # DFS cost explodes unpredictably past ~18 rows; larger
+            # cores are arbitrated by native_double / tf96 instead
+            if core_n <= 18:
                 t0 = time.perf_counter()
                 ref_val = float(perman_brute(core))
                 ref_src = f"dfs_core_n{core_n}"
                 log(f"{name}: core DFS per = {ref_val:.12e} "
                     f"({time.perf_counter() - t0:.1f} s)")
-            configs = ([("direct", {}),
-                        ("sparse", {"sparse": True, "preprocessing": 2}),
-                        ("compression", {"compression": True}),
+            # TPU configs run calc="auto": real matrices carry real
+            # cancellation (measured: chesapeake's raw df64 walk is
+            # ~1.3e-5 off at n=39 — amplification ~2^33), and auto's
+            # escalation probe exists exactly for that.  The suite
+            # therefore validates the tier LADDER end-to-end, not a
+            # fixed tier's conditional contract.
+            au = {"calc": "auto"}
+            configs = ([("direct", dict(au)),
+                        ("sparse", {"sparse": True, "preprocessing": 2,
+                                    **au}),
+                        ("compression", {"compression": True, **au}),
                         ("scaling", {"scaling_threshold": 2.0,
-                                     "compression": True})]
+                                     "compression": True, **au})]
                        if cls == "A" else
-                       [("compression", {"compression": True}),
+                       [("compression", {"compression": True, **au}),
                         ("compression_scaling",
-                         {"compression": True, "scaling_threshold": 2.0})])
+                         {"compression": True, "scaling_threshold": 2.0,
+                          **au})])
             if cls == "A" and n <= NATIVE_MAX_N:
                 configs.append(("native_double",
                                 {"cpu": True, "gpu": False, "sparse": True,
@@ -169,29 +237,51 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
                     vals[cfg] = (None, time.perf_counter() - t0)
                     log(f"{name}/{cfg}: EXCEPTION {e!r}")
             if ref_val is None:
-                # arbitrate by the native run if present, else tf96
-                if "native_double" in vals and vals["native_double"][0] is not None:
-                    ref_val, ref_src = vals["native_double"][0], "native_double"
-                else:
+                # arbiter precedence: exact DFS (above) > tf96 (int
+                # matrices only — the tier silently falls back to df64
+                # on non-exact storage, which would be self-arbitration)
+                # > native C++ double (independent engine, ~amp * 2^-53)
+                ints = bool(np.all(a == np.round(a))
+                            and np.abs(a).max() < 2 ** 22)
+                if ints:
                     t0 = time.perf_counter()
                     r = sp.permanent(path, calc="tf96")
                     ref_val, ref_src = float(r.permanent), "tpu_tf96"
                     log(f"{name}: tf96 arbiter = {ref_val:.12e} "
+                        f"({time.perf_counter() - t0:.1f} s)")
+                elif ("native_double" in vals
+                      and vals["native_double"][0] is not None):
+                    ref_val, ref_src = (vals["native_double"][0],
+                                        "native_double")
+                else:
+                    t0 = time.perf_counter()
+                    r = sp.permanent(path, calc="f64")
+                    ref_val, ref_src = float(r.permanent), "host_f64"
+                    log(f"{name}: host f64 arbiter = {ref_val:.12e} "
                         f"({time.perf_counter() - t0:.1f} s)")
             for cfg, (v, w) in vals.items():
                 if v is None:
                     status, rel = "EXCEPTION", None
                 else:
                     rel = _rel(v, ref_val)
-                    # tier contract: df64-class engines vs the arbiter.
-                    # compression merges entries (different grouping, and
-                    # d2 products can concentrate magnitudes), so give
-                    # transform pipelines a wider—but still catastrophic-
-                    # proof—band than the direct walks.
-                    tol = 1e-6 if cfg in ("direct", "sparse",
-                                          "native_double") else 1e-4
+                    # tier contracts vs the arbiter: auto targets 1e-9
+                    # but the comparison inherits the arbiter's own
+                    # limits — native double carries ~amp * 2^-53
+                    # (measured ~1e-6-class on badly conditioned files),
+                    # so walks compared AGAINST it get a double-class
+                    # band, and the native row compared against tf96
+                    # does too.  Transforms merge entries (d2 products
+                    # concentrate magnitudes): wider, catastrophe-proof.
+                    if cfg in ("direct", "sparse"):
+                        tol = (1e-7 if ref_src == "tpu_tf96"
+                               or ref_src.startswith("dfs_core")
+                               else 1e-6)
+                    elif cfg == "native_double":
+                        tol = 1e-5
+                    else:
+                        tol = 1e-5
                     status = "ok" if rel <= tol else "FAIL"
-                rows.append({**base, "class": cls, "config": cfg,
+                emit({**base, "class": cls, "config": cfg,
                              "value": v, "wall_s": round(w, 3),
                              "status": status, "rel_err_vs_ref": rel,
                              "ref_value": ref_val, "ref_source": ref_src})
@@ -200,32 +290,35 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
         else:
             # class C: estimator consistency across independent seeds
             trials = 20000 if quick else 100000
+            # agreement is checked in LOG space: bcsstk01-scale
+            # permanents (~1e400) overflow f64, but log2_estimate and
+            # the relative stderr are always finite
             ests = []
             for seed in (11, 12):
                 t0 = time.perf_counter()
                 r = sp.permanent(path, approximation=True,
-                                 perman_algo="scaling",
+                                 perman_algo="scaling", smc=1,
                                  number_of_times=trials, seed=seed)
-                ests.append((float(r.permanent),
-                             r.meta.get("stderr") or 0.0,
+                ests.append((float(r.meta["log2_estimate"]),
+                             float(r.meta.get("stderr_rel") or 0.0),
                              time.perf_counter() - t0))
-                log(f"{name}/est seed={seed}: {ests[-1][0]:.6e} "
-                    f"± {ests[-1][1]:.2e} ({ests[-1][2]:.0f} s)")
-            (v1, s1, w1), (v2, s2, w2) = ests
-            sig = (s1 ** 2 + s2 ** 2) ** 0.5
-            ok = (v1 > 0 and v2 > 0
-                  and (sig == 0 or abs(v1 - v2) <= 3.0 * sig))
-            rows.append({**base, "class": "C", "config": "estimator_x2",
-                         "value": v1, "value2": v2,
-                         "stderr": s1, "stderr2": s2,
-                         "wall_s": round(w1 + w2, 3),
-                         "status": "ok" if ok else "FAIL",
-                         "trials": trials,
-                         "ref_source": "seed_agreement_3sigma"})
+                log(f"{name}/est seed={seed}: log2 = {ests[-1][0]:.4f} "
+                    f"rel ± {ests[-1][1]:.3f} ({ests[-1][2]:.0f} s)")
+            (l1, s1, w1), (l2, s2, w2) = ests
+            ln2 = float(np.log(2.0))
+            sig_l2 = ((s1 / ln2) ** 2 + (s2 / ln2) ** 2) ** 0.5
+            ok = (np.isfinite(l1) and np.isfinite(l2)
+                  and (sig_l2 == 0 or abs(l1 - l2) <= 3.0 * sig_l2))
+            emit({**base, "class": "C", "config": "estimator_x2",
+                  "log2_value": l1, "log2_value2": l2,
+                  "stderr_rel": s1, "stderr_rel2": s2,
+                  "wall_s": round(w1 + w2, 3),
+                  "status": "ok" if ok else "FAIL",
+                  "trials": trials,
+                  "ref_source": "seed_agreement_3sigma_log2"})
             failures += not ok
-    with open(out_path, "w") as f:
-        for row in rows:
-            f.write(json.dumps(row) + "\n")
+    out_f.close()
+    os.replace(out_path + ".partial", out_path)
     log(f"real suite: {len(rows)} rows, {failures} failures -> {out_path}")
     return failures
 

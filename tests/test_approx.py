@@ -159,3 +159,43 @@ def test_scaling_estimator_large_sparse_grid():
     assert r.permanent > 0
     got = np.log2(r.permanent)
     assert abs(got - kasteleyn_log2(12, 12)) < 4.0   # within 2^4
+
+
+def test_smc_estimator_converges(rng):
+    """SMC population estimator (resampling SIS): unbiased on a small
+    weighted matrix, stderr across populations brackets the truth."""
+    a = ((rng.random((12, 12)) < 0.5) * rng.integers(1, 4, (12, 12))
+         ).astype(np.float64)
+    np.fill_diagonal(a, 1)
+    want = float(perman_brute(a.astype(np.int64)))
+    r = sp.permanent(a, approximation=True, perman_algo="scaling",
+                     number_of_times=8192, seed=7, smc=1)
+    assert r.algo_name == "approx_scaling_smc"
+    assert r.permanent == pytest.approx(want, rel=0.15)
+    assert r.meta["stderr"] > 0
+    assert abs(r.permanent - want) < 5 * r.meta["stderr"]
+    assert r.meta["populations"] == 8
+
+
+def test_smc_structural_zero(rng):
+    """A matrix with an isolated row kills every particle: the SMC
+    estimate must be exactly 0, not NaN (extinction path)."""
+    a = np.ones((12, 12))
+    a[3, :] = 0.0
+    r = sp.permanent(a, approximation=True, perman_algo="scaling",
+                     number_of_times=512, seed=1, smc=1)
+    assert r.permanent == 0.0
+
+
+def test_smc_auto_engages_at_large_n():
+    """smc=-1 (default) auto-engages at n >= 64 where plain SIS dies by
+    attrition (round-2 verdict weak #3)."""
+    rng = np.random.default_rng(5)
+    n = 64
+    perm = rng.permutation(n)
+    a = np.zeros((n, n))
+    a[np.arange(n), perm] = 1.0
+    r = sp.permanent(a, approximation=True, perman_algo="scaling",
+                     number_of_times=512, seed=2)
+    assert r.algo_name == "approx_scaling_smc"
+    assert r.permanent == pytest.approx(1.0, rel=1e-3)

@@ -82,3 +82,41 @@ def test_compression_sanity_bailout(rng):
     # a sane result passes through untouched
     good = Result(want, 0.0, algo_name="compressed")
     assert _compression_sanity(dm, flags, good) is good
+
+
+def test_amp_probe_on_all_ones():
+    """Analytic check of the cancellation-amplitude probe: on J_n the
+    Ryser terms are (k+1-n/2)^n with C(n-1,k) multiplicity, so
+    sum|term| is exactly computable."""
+    import math
+    from superman_tpu.drivers.runner import _amp_probe_log2
+    n = 12
+    want = math.log2(sum(math.comb(n - 1, k) * abs(k + 1 - n / 2) ** n
+                         for k in range(n)))
+    got = _amp_probe_log2(np.ones((n, n)), samples=4096, seed=5)
+    assert abs(got - want) < 1.5            # heavy-tail sampling slack
+
+
+def test_auto_escalates_on_magnitude_spread(rng_unused=None):
+    """Round-2 verdict weak #4: a magnitude-spread matrix (d2-landmine
+    family, entries +-9e5, amplification ~2^28) must escalate auto to
+    tf96; at df64 the walk carries ~2^(28-48) ~ 1e-6 error, over the
+    1e-9 auto target.  The probe measures the amplitude directly, so
+    correlated per-term rounding cannot hide it."""
+    from superman_tpu.ops.oracle import perman_brute
+    rng = np.random.default_rng(0)
+    a = None
+    for t in range(3063):                    # fuzz-found index
+        n = 10
+        m = rng.integers(1, 10, (n, n)).astype(np.float64)
+        m *= 10.0 ** rng.integers(0, 6, (n, n))
+        m *= np.where(rng.random((n, n)) < 0.5, -1.0, 1.0)
+        a = m
+    from superman_tpu.drivers.runner import _amp_probe_log2
+    amp = _amp_probe_log2(a) - np.log2(abs(float(perman_brute(
+        a.astype(np.int64)))))
+    assert amp > 20                          # the probe sees the blowup
+    r = sp.permanent(a, calc="auto")
+    assert r.meta["auto"]["escalated"] == "tf96"
+    want = perman_brute(a.astype(np.int64))  # exact python int
+    assert r.permanent == pytest.approx(float(want), rel=1e-8)

@@ -44,6 +44,11 @@ def load() -> ctypes.CDLL:
         lib.sup_approx_scaling.restype = D
         lib.sup_approx_scaling.argtypes = [dp, I, LL, I, I, I, U,
                                            ctypes.POINTER(D)]
+        up64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        lib.sup_perman_mod.restype = U
+        lib.sup_perman_mod.argtypes = [up64, I, U]
+        lib.sup_perman_mod_batch.restype = None
+        lib.sup_perman_mod_batch.argtypes = [up64, I, up64, I, I, up64]
         lib.read_calculate_return.restype = D
         lib.read_calculate_return.argtypes = [ctypes.c_char_p, I, I, I, I, I]
         lib.connect.restype = None
@@ -71,6 +76,22 @@ def perman_dense_chunks(a_scaled: np.ndarray, chunk_ids: np.ndarray,
     ids = np.ascontiguousarray(chunk_ids, dtype=np.int64)
     return float(lib.sup_perman_dense_chunks(
         a, a.shape[0], ids, len(ids), int(r), int(threads)))
+
+
+def perman_mod_batch(mats: np.ndarray, primes: np.ndarray,
+                     threads: int = 0) -> np.ndarray:
+    """per(mats[i]) mod primes[i] for pre-reduced uint64 matrices.
+
+    Backs ops/exact.py's CRT reconstruction; mats has shape (np, n, n)
+    with mats[i] already reduced into [0, primes[i]).
+    """
+    lib = load()
+    mats = np.ascontiguousarray(mats, dtype=np.uint64)
+    ps = np.ascontiguousarray(primes, dtype=np.uint64)
+    out = np.empty(len(ps), dtype=np.uint64)
+    lib.sup_perman_mod_batch(mats, mats.shape[-1], ps, len(ps),
+                             int(threads), out)
+    return out
 
 
 def read_calculate_return(filename: str, algorithm: int, nt: int = 16,

@@ -7,6 +7,8 @@
 #ifndef SUPERMAN_NATIVE_H
 #define SUPERMAN_NATIVE_H
 
+#include <stdint.h>
+
 #ifdef __cplusplus
 extern "C" {
 #endif
@@ -26,6 +28,13 @@ double sup_rasmussen(const double* a, int n, long long trials, int threads,
 double sup_approx_scaling(const double* a, int n, long long trials,
                           int scale_intervals, int scale_times, int threads,
                           unsigned long long seed, double* zeros_out);
+
+/* exact modular engine (ops/exact.py CRT driver): per(a) mod p for an
+ * integer matrix pre-reduced into [0, p); odd p < 2^62.  The batch form
+ * runs one (matrix, prime) pair per OpenMP task. */
+uint64_t sup_perman_mod(const uint64_t* a, int n, uint64_t p);
+void sup_perman_mod_batch(const uint64_t* mats, int n, const uint64_t* ps,
+                          int np, int threads, uint64_t* out);
 
 /* libConnect-parity facade (reference interface_connector.c:61-231) */
 double read_calculate_return(char* filename, int algorithm, int nt, int x,

@@ -61,7 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Sinkhorn scaling threshold (-1 = off)")
     p.add_argument("-l", "--deviceid", type=int, default=0)
     p.add_argument("--calc", type=str, default=None,
-                   choices=("f32", "f32k", "df64", "tf96", "f64", "quad"))
+                   choices=("f32", "f32k", "df64", "tf96", "f64", "quad",
+                            "auto", "exact"))
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smc", type=int, default=-1, choices=(-1, 0, 1),
                    help="SMC population estimator for -a scaling: "

@@ -81,6 +81,10 @@ class Flags:
     checkpoint_path: Optional[str] = None
     #: relative-accuracy target for calc="auto" escalation
     auto_target: float = 1e-9
+    #: calc="auto" last rung: when even tf96's predicted error misses
+    #: auto_target, escalate to the exact CRT engine (ops/exact.py) if
+    #: its cost estimate fits this budget; else flag low_confidence
+    auto_exact_budget_s: float = 30.0
     #: SMC population estimator for the scaling approximation:
     #: -1 auto (engage at n >= 64, where plain SIS dies by attrition),
     #: 0 never, 1 always (ops/approx.py:_smc_population)

@@ -35,11 +35,24 @@ def run(dense: DenseMatrix, flags: Flags) -> Result:
         upd["perman_algo"] = beh["algo"]
     if upd:
         flags = dataclasses.replace(flags, **upd)
+    # calc="exact": modular-CRT integer permanent (ops/exact.py) — the
+    # arbiter of last resort for cancellation-bound inputs.  It folds
+    # degree-1 lines in exact bigint arithmetic itself and must NOT run
+    # under the scaling/compression drivers (those transforms round in
+    # f64, destroying exactness).  No reference counterpart.
+    if flags.resolved_calc() == "exact" and not flags.approximation:
+        from ..ops.exact import perman_exact
+        return perman_exact(dense, flags)
     # transform drivers wrap the core run (order matches the reference:
     # scaling may invoke compression which recurses back here)
     if flags.scaling_threshold != -1.0:
         from .scale_driver import scale_and_calculate
-        return scale_and_calculate(dense, flags)
+        res = scale_and_calculate(dense, flags)
+        # the scale driver reorganizes magnitudes just like compression
+        # (and may recurse into it) — same sanity net (measured escape:
+        # ex5_rs.mtx scaling off by 8e38 while every other config agreed;
+        # SUITE_REPORT_REAL.jsonl run 3)
+        return _compression_sanity(dense, flags, res)
     if flags.compression:
         from .compress_driver import compress_singleton_and_then_recurse
         res = compress_singleton_and_then_recurse(dense, flags)
@@ -66,13 +79,62 @@ def _compression_sanity(dense: DenseMatrix, flags: Flags,
     from ..ops.ryser import _log2_perm_estimate
     from ..utils import trace
 
-    est = _log2_perm_estimate(np.abs(np.asarray(dense.mat,
-                                                dtype=np.float64)))
+    if flags.approximation:
+        return res                       # estimates carry their own stderr
+    a = np.asarray(dense.mat, dtype=np.float64)
     p = res.permanent
+
+    # Exact certification: when the modular-CRT engine (ops/exact.py) is
+    # cheap — real sparse matrices fold to tiny d1/d2 cores — it is
+    # strictly stronger than any probe: certify the pipeline's value, or
+    # replace it when the walk lost the permanent to cancellation.  The
+    # magnitude probe CANNOT see that failure mode: noise sits exactly at
+    # amplitude scale, which is where per(|A|) sits too (measured:
+    # d_ss.mtx, compression off by 4.3e11 yet only 38 bits above |per| —
+    # under the 60-bit alarm; SUITE_REPORT_REAL.jsonl).
+    if a.shape[0] <= 100:
+        from ..bindings.native import native_available
+        from ..ops.exact import (_float_of_fraction, exact_cost_estimate,
+                                 perman_exact_fraction)
+        try:
+            secs, _, core_n = exact_cost_estimate(a)
+        except Exception:
+            secs, core_n = float("inf"), 0
+        if secs < 5.0 and (core_n <= 16 or native_available()):
+            frac, emeta = perman_exact_fraction(a)
+            ev = _float_of_fraction(frac)
+            rel = (abs(p - ev) / abs(ev) if ev and np.isfinite(ev)
+                   else (0.0 if p == ev else np.inf))
+            if not np.isfinite(p) or rel > 1e-6:
+                trace.log(
+                    "compression pipeline is cancellation-bound "
+                    f"(rel error {rel:.1e} vs exact CRT); returning the "
+                    f"exact value (core n={emeta['core_n']}, "
+                    f"{emeta['wall_s']:.2f} s)", level=1)
+                out = Result(ev, res.time + emeta["wall_s"],
+                             algo_name="exact_crt",
+                             iterations=res.iterations)
+                out.meta["compression_bailout"] = "exact_crt"
+                out.meta["exact_fraction"] = frac
+                out.meta["replaced"] = {"value": p,
+                                        "algo": res.algo_name}
+                return out
+            res.meta["exact_certified_rel"] = float(f"{rel:.2e}")
+            return res
+
+    est = _log2_perm_estimate(np.abs(a))
     suspicious = not np.isfinite(p)
     if not suspicious and est is not None and np.isfinite(est) and p != 0:
         suspicious = abs(float(np.log2(abs(p))) - est) > 60.0
     if not suspicious:
+        return res
+    if a.shape[0] > 42:
+        # direct dense is infeasible here and exact was not cheap:
+        # surface the suspicion instead of silently hanging
+        trace.log("compression result fails the magnitude sanity check "
+                  "but the matrix is too large for a direct re-run; "
+                  "flagging compression_suspect", level=1)
+        res.meta["compression_suspect"] = True
         return res
     trace.log("compression result fails the magnitude sanity check; "
               "re-running the direct engine on the uncompressed matrix",
@@ -218,13 +280,46 @@ def _run_auto(dm: DenseMatrix, flags: Flags, mesh) -> Result:
     probe_err = 2.0 ** (amp_l2 - 48.0) if np.isfinite(amp_l2) else 0.0
     est_df64_err = max(est_df64_err, probe_err)
     if est_df64_err > TARGET:
+        # tf96's predicted error from the same two amplification
+        # measurements (eff. mantissa ~70 bits vs df64's ~48)
+        est_tf96_err = max(diff_rel * 2.0 ** -46,
+                           2.0 ** (amp_l2 - 70.0) if np.isfinite(amp_l2)
+                           else 0.0)
+        if est_tf96_err > TARGET:
+            # even tf96 is predicted to miss: last rung is the exact CRT
+            # engine (real-matrix cancellation can sit 100s of bits above
+            # ANY float tier — measured 2^280 on pores_1_r.mtx,
+            # SUITE_REPORT_REAL.jsonl) — when its cost estimate fits the
+            # budget.  Otherwise return tf96 FLAGGED: a self-reported
+            # error bound beats the reference's silent noise.
+            from ..ops.exact import exact_cost_estimate
+            from ..bindings.native import native_available
+            try:
+                secs, _, core_n = exact_cost_estimate(
+                    np.asarray(dm.mat, dtype=np.float64))
+            except Exception:
+                secs, core_n = float("inf"), 0
+            if secs < float(flags.auto_exact_budget_s) and (
+                    core_n <= 16 or native_available()):
+                from ..ops.exact import perman_exact
+                ex = perman_exact(dm, flags)
+                ex.meta["auto"] = {
+                    "escalated": "exact",
+                    "df64_err_est": float(f"{est_df64_err:.2e}"),
+                    "tf96_err_est": float(f"{est_tf96_err:.2e}")}
+                ex.time += res.time + fast.time
+                return ex
         hi = ryser_exact(dm, dataclasses.replace(flags, calc="tf96"),
                          mesh=mesh)
         hi.meta["auto"] = {"escalated": "tf96",
-                           "df64_err_est": float(f"{est_df64_err:.2e}")}
+                           "df64_err_est": float(f"{est_df64_err:.2e}"),
+                           "err_est": float(f"{est_tf96_err:.2e}")}
+        if est_tf96_err > TARGET:
+            hi.meta["auto"]["low_confidence"] = True
         hi.time += res.time + fast.time
         return hi
     res.meta["auto"] = {"escalated": None,
-                        "df64_err_est": float(f"{est_df64_err:.2e}")}
+                        "df64_err_est": float(f"{est_df64_err:.2e}"),
+                        "err_est": float(f"{est_df64_err:.2e}")}
     res.time += fast.time
     return res

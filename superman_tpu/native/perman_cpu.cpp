@@ -412,6 +412,108 @@ double sup_perman_skipper(const double* a, int n, int threads,
   return perman_skipper_walk<double, long double>(a, n, threads);
 }
 
+}  // extern "C" (Montgomery helpers below)
+
+// ------------------------------------------------ exact: modular CRT walk
+//
+// per(M) mod p for an integer matrix pre-reduced mod p: the same
+// Nijenhuis–Wilf Gray walk as perman_dense_walk, in Z_p (Montgomery
+// form — a 128-bit `%` per product step is 5-10x slower).  Combined with
+// CRT over enough ~2^61 primes (ops/exact.py) this yields the EXACT
+// integer permanent of any dyadic-rational f64 matrix — the arbiter of
+// last resort for cancellation-bound inputs (e.g. pores_1_r.mtx, where
+// the term amplitude sits ~2^280 above the permanent and every
+// fixed-precision engine, including the reference's __float128 quad
+// walks, returns pure noise).  No reference counterpart.
+
+namespace {
+
+struct Mont {
+  uint64_t p, ninv, r2;  // ninv = -p^-1 mod 2^64; r2 = 2^128 mod p
+  explicit Mont(uint64_t p_) : p(p_) {
+    uint64_t inv = p_;  // Newton inverse of p mod 2^64 (p odd)
+    for (int i = 0; i < 6; i++) inv *= 2 - p_ * inv;
+    ninv = ~inv + 1;
+    uint64_t r1 = (~0ull % p_) + 1;            // 2^64 mod p
+    if (r1 == p_) r1 = 0;
+    r2 = (uint64_t)((__uint128_t)r1 * r1 % p_);
+  }
+  uint64_t redc(__uint128_t t) const {
+    uint64_t m = (uint64_t)t * ninv;
+    uint64_t r = (uint64_t)((t + (__uint128_t)m * p) >> 64);
+    return r >= p ? r - p : r;
+  }
+  uint64_t mul(uint64_t a, uint64_t b) const {
+    return redc((__uint128_t)a * b);
+  }
+  uint64_t to(uint64_t a) const { return mul(a, r2); }
+  uint64_t from(uint64_t a) const { return redc(a); }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Entries a[i*n+j] already reduced into [0, p); requires odd p < 2^62.
+uint64_t sup_perman_mod(const uint64_t* a, int n, uint64_t p) {
+  if (n <= 0) return 1 % p;
+  if (n == 1) return a[0] % p;
+  const Mont mg(p);
+  const uint64_t inv2 = mg.to((p + 1) / 2);    // 2^-1, Montgomery form
+  // Montgomery-form x vector and +/- column tables
+  std::vector<uint64_t> x(n), colp((size_t)(n - 1) * n), colm;
+  for (int j = 0; j < n; j++) {
+    uint64_t rs = 0;
+    for (int k = 0; k < n; k++) {
+      rs += mg.to(a[j * n + k]);
+      if (rs >= p) rs -= p;
+    }
+    // x0[j] = a[j][n-1] - rowsum/2  (oracle.py math block)
+    uint64_t v = mg.to(a[j * n + (n - 1)]) + p - mg.mul(rs, inv2);
+    x[j] = v >= p ? v - p : v;
+  }
+  for (int k = 0; k < n - 1; k++)
+    for (int j = 0; j < n; j++)
+      colp[(size_t)k * n + j] = mg.to(a[j * n + k]);
+  colm.resize(colp.size());
+  for (size_t i = 0; i < colp.size(); i++)
+    colm[i] = colp[i] ? p - colp[i] : 0;
+
+  uint64_t acc = mg.to(1);
+  for (int j = 0; j < n; j++) acc = mg.mul(acc, x[j]);   // m = 0 term
+  const uint64_t one_m = mg.to(1);
+  const uint64_t total = 1ull << (n - 1);
+  for (uint64_t m = 1; m < total; m++) {
+    const int k = __builtin_ctzll(m);
+    const uint64_t g = m ^ (m >> 1);
+    const uint64_t* c = ((g >> k) & 1ull) ? &colp[(size_t)k * n]
+                                          : &colm[(size_t)k * n];
+    uint64_t prod = one_m;
+    for (int j = 0; j < n; j++) {
+      uint64_t xv = x[j] + c[j];
+      if (xv >= p) xv -= p;
+      x[j] = xv;
+      prod = mg.mul(prod, xv);
+    }
+    acc += (m & 1) ? p - prod : prod;
+    if (acc >= p) acc -= p;
+  }
+  // per = 2 * (-1)^(n+1) * acc (oracle.py perman64: 4*(n&1) - 2)
+  acc += acc;
+  if (acc >= p) acc -= p;
+  if (!(n & 1)) acc = acc ? p - acc : 0;
+  return mg.from(acc);
+}
+
+// mats: np contiguous n*n matrices, mats[i] pre-reduced mod ps[i].
+void sup_perman_mod_batch(const uint64_t* mats, int n, const uint64_t* ps,
+                          int np, int threads, uint64_t* out) {
+  threads = pick_threads(threads);
+#pragma omp parallel for schedule(dynamic, 1) num_threads(threads)
+  for (int i = 0; i < np; i++)
+    out[i] = sup_perman_mod(mats + (size_t)i * n * n, n, ps[i]);
+}
+
 // -------------------------------------------------------- approximation
 
 // Rasmussen estimator (min-degree heuristic), binary support matrix.

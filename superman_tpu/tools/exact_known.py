@@ -1,0 +1,71 @@
+"""Build EXACT_KNOWN.jsonl: certified exact permanents of the reference
+corpus (SURVEY §4.3 known-answer mechanism, done properly).
+
+The reference ships its real matrices with NO recorded values; worse, on
+cancellation-bound files (pores_1_r: amplitude ~2^280 over |per|) every
+fixed-precision engine it has — double AND __float128 — returns noise.
+The modular-CRT engine (ops/exact.py) computes the true integer
+permanent with an end-to-end held-out-prime certificate, giving this
+corpus its first actual known answers.  real_suite.py arbitrates
+against these rows.
+
+Run:  python -m superman_tpu.tools.exact_known [--out EXACT_KNOWN.jsonl]
+      [--budget SECONDS]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="EXACT_KNOWN.jsonl")
+    p.add_argument("--budget", type=float, default=2000.0,
+                   help="per-file cost-estimate cap in seconds")
+    args = p.parse_args(argv)
+
+    from ..io.matrixmarket import read_any
+    from ..ops import exact
+    from .real_suite import corpus
+
+    out = open(args.out + ".partial", "w")
+    for path in corpus():
+        name = os.path.basename(path)
+        a = np.asarray(read_any(path, 0, 0, 0).mat, np.float64)
+        secs, npr, core_n = exact.exact_cost_estimate(a)
+        if secs > args.budget:
+            print(f"{name}: skipped (est {secs:.0f} s, core n={core_n})",
+                  flush=True)
+            continue
+        t0 = time.time()
+        frac, meta = exact.perman_exact_fraction(a)
+        val = exact._float_of_fraction(frac)
+        sign, l2 = ((0.0, None) if frac == 0 else
+                    (1.0 if frac > 0 else -1.0,
+                     exact.log2_abs_fraction(frac)))
+        num = str(frac.numerator)
+        row = {"file": name, "n": int(a.shape[0]),
+               "core_n": meta["core_n"], "nprimes": meta.get("nprimes"),
+               "k": meta["k"], "value": val, "sign": sign,
+               "log2_abs": l2,
+               "numerator": num if len(num) <= 400 else num[:40] + "...",
+               "denominator_log2": meta["k"] * int(a.shape[0]),
+               "wall_s": round(time.time() - t0, 2),
+               "engine": meta.get("engine")}
+        out.write(json.dumps(row) + "\n")
+        out.flush()
+        print(f"{name}: per = {val:.12e} (core n={meta['core_n']}, "
+              f"{row['wall_s']} s)", flush=True)
+    out.close()
+    os.replace(args.out + ".partial", args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

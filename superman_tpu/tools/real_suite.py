@@ -10,9 +10,23 @@ are the highest-value validation data for the most failure-prone paths
 
 No absolute "known" values ship with the reference, so truth is
 established by cross-engine arbitration, the same policy the fuzzer uses
-(tools/fuzz.py): independent engines — TPU Pallas df64, TPU tf96, the
-native C++ double/quad walks, and an exact DFS on the d1/d2-compressed
-core where it fits — must agree within their tier contracts.
+(tools/fuzz.py).  Arbiter precedence (strongest first):
+
+1. the EXACT modular-CRT permanent (ops/exact.py; table built by
+   tools/exact_known.py into EXACT_KNOWN.jsonl, or computed inline when
+   the cost estimate is small) — zero-error, held-out-prime certified;
+2. exact DFS on the d1/d2-folded core (independent exact algorithm —
+   where both exist they must agree to f64 rounding);
+3. TPU tf96 (integer matrices only), native C++ double, host f64.
+
+Fixed-precision engines carry an irreducible error ~amp * 2^-mantissa
+where amp = sum_m |term_m| (real matrices measured up to 2^280 above
+|per| — pores_1_r).  A row that misses its tolerance is still "ok" when
+(a) the engine SELF-REPORTED low confidence (calc=auto's flagged tf96)
+and its reported bound covers the miss, or (b) for fixed native tiers,
+the suite's own amplitude probe predicts the miss.  Such rows carry
+``conditioning_limited: true`` — the honest contract the reference
+cannot offer (it prints pure noise on these files with no warning).
 
 Per-file plan:
 
@@ -86,17 +100,52 @@ def _rel(x: float, ref: float) -> float:
     return abs(x - ref) / abs(ref)
 
 
+def _load_exact_known(path: str = "EXACT_KNOWN.jsonl") -> dict:
+    """name -> exact-CRT row (tools/exact_known.py; held-out certified)."""
+    out = {}
+    if not os.path.exists(path):
+        path = os.path.join(os.path.dirname(__file__), "..", "..", path)
+    if os.path.exists(path):
+        with open(path) as fh:
+            for ln in fh:
+                if ln.strip():
+                    d = json.loads(ln)
+                    if d.get("engine") is not None or d["value"] == 0.0:
+                        out[d["file"]] = d
+    return out
+
+
 def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
-              quick: bool = False, log=print) -> int:
+              quick: bool = False, resume: bool = False, log=print) -> int:
     import superman_tpu as sp
+    from ..bindings.native import native_available
+    from ..drivers.runner import _amp_probe_log2
     from ..io.matrixmarket import read_any
+    from ..ops.exact import (_float_of_fraction, exact_cost_estimate,
+                             perman_exact_fraction)
     from ..ops.oracle import perman_brute
 
+    exact_known = _load_exact_known()
     failures = 0
     rows = []
+    # --resume: carry over rows from an interrupted run's .partial and
+    # skip their files (emits are per-file-atomic: every class writes all
+    # of a file's rows after its last config completes, so a file is
+    # either fully present or absent)
+    done_files = set()
+    if resume and os.path.exists(out_path + ".partial"):
+        with open(out_path + ".partial") as fh:
+            rows = [json.loads(ln) for ln in fh if ln.strip()]
+        done_files = {r["file"] for r in rows}
+        failures = sum(r.get("status") not in ("ok", None) for r in rows)
+        log(f"resuming: {len(rows)} rows / {len(done_files)} files kept, "
+            f"{failures} prior failures")
     # rows stream to .partial (a kill keeps the evidence); the final
     # rename keeps the evidence guard from reading an in-flight file
     out_f = open(out_path + ".partial", "w")
+    for r in rows:
+        out_f.write(json.dumps(r) + "\n")
+    out_f.flush()
 
     def emit(row):
         rows.append(row)
@@ -116,6 +165,8 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
         files = files[:4]          # smoke mode: the 4 smallest orders
     for path in files:
         name = os.path.basename(path)
+        if name in done_files:
+            continue
         dm = read_any(path, 0, 0, 0)
         a = np.asarray(dm.mat, np.float64)
         n = a.shape[0]
@@ -158,12 +209,17 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
                             f"dead={spn.dead_frac:.3f}, est {est:.0f} s)")
 
         if cls == "B2":
-            # exact, arbitrated by a faster independent tier (f32k) at
-            # its contract; df64 is the canonical recorded value
+            # exact, arbitrated by an independent-conditioning path: the
+            # Sinkhorn-scaled df64 walk reorganizes the Ryser sum, so
+            # agreement at 1e-5 is meaningful.  (An f32k cross-check is
+            # NOT: real cancellation at core n~49 puts f32k's ~amp*2^-24
+            # error far past any usable band — measured 1.5e7 off on
+            # will57, run 3.)
             vals = {}
             for cfg, kw in [("compression", {"compression": True}),
-                            ("compression_f32k",
-                             {"compression": True, "calc": "f32k"})]:
+                            ("compression_scaling",
+                             {"compression": True,
+                              "scaling_threshold": 2.0})]:
                 t0 = time.perf_counter()
                 try:
                     r = sp.permanent(path, **kw)
@@ -178,27 +234,56 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
                     status, rel = "EXCEPTION", None
                 else:
                     rel = _rel(v, ref_val)
-                    status = "ok" if rel <= 1e-3 else "FAIL"
+                    status = "ok" if rel <= 1e-5 else "FAIL"
                 emit({**base, "class": cls, "config": cfg,
                              "value": v, "wall_s": round(w, 3),
                              "status": status, "rel_err_vs_ref": rel,
                              "ref_value": ref_val,
-                             "ref_source": "df64_vs_f32k_cross"})
+                             "ref_source": "df64_vs_sinkhorn_cross"})
                 failures += status != "ok"
                 log(f"{name}/{cfg}: {v} rel={rel} [{status}] {w:.0f}s")
             continue
 
         if cls in ("A", "B"):
-            # exact DFS on the folded core — engine-independent truth
-            # (d1/d2 folding preserves the permanent exactly)
+            # arbiter precedence #1: the exact CRT permanent — from the
+            # EXACT_KNOWN table when recorded, else computed inline when
+            # the cost estimate is small
             ref_val, ref_src = None, None
-            # DFS cost explodes unpredictably past ~18 rows; larger
-            # cores are arbitrated by native_double / tf96 instead
+            exact_cheap = False
+            kn = exact_known.get(name)
+            if kn is not None:
+                ref_val, ref_src = float(kn["value"]), "exact_crt_known"
+                exact_cheap = kn["wall_s"] < 25.0
+            else:
+                try:
+                    esecs, _, ecore = exact_cost_estimate(a)
+                except Exception:
+                    esecs, ecore = float("inf"), 0
+                if esecs < 25.0 and (ecore <= 16 or native_available()):
+                    frac, emeta = perman_exact_fraction(a)
+                    ref_val = _float_of_fraction(frac)
+                    ref_src, exact_cheap = "exact_crt", True
+                    log(f"{name}: exact CRT per = {ref_val:.12e} "
+                        f"({emeta['wall_s']:.1f} s)")
+            # precedence #2: exact DFS on the folded core — a second,
+            # algorithmically independent exact engine; where both exist
+            # they must agree to f64 rounding (recorded as its own row)
             if core_n <= 18:
                 t0 = time.perf_counter()
-                ref_val = float(perman_brute(core))
-                ref_src = f"dfs_core_n{core_n}"
-                log(f"{name}: core DFS per = {ref_val:.12e} "
+                dfs = float(perman_brute(core))
+                if ref_val is None:
+                    ref_val = dfs
+                    ref_src = f"dfs_core_n{core_n}"
+                else:
+                    xrel = _rel(dfs, ref_val)
+                    emit({**base, "class": cls, "config": "exact_vs_dfs",
+                          "value": dfs, "wall_s":
+                              round(time.perf_counter() - t0, 3),
+                          "status": "ok" if xrel <= 1e-12 else "FAIL",
+                          "rel_err_vs_ref": xrel, "ref_value": ref_val,
+                          "ref_source": ref_src})
+                    failures += xrel > 1e-12
+                log(f"{name}: core DFS per = {dfs:.12e} "
                     f"({time.perf_counter() - t0:.1f} s)")
             # TPU configs run calc="auto": real matrices carry real
             # cancellation (measured: chesapeake's raw df64 walk is
@@ -226,15 +311,21 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
                 configs.append(("native_compression",
                                 {"compression": True, "cpu": True,
                                  "gpu": False}))
+            if exact_cheap:
+                # the calc="exact" engine end to end (must reproduce the
+                # arbiter bit for bit — it IS the same algorithm family,
+                # so this regression-pins the CRT/fold/binding plumbing)
+                configs.append(("exact", {"calc": "exact"}))
             vals = {}
             for cfg, kw in configs:
                 t0 = time.perf_counter()
                 try:
                     r = sp.permanent(path, **kw)
                     vals[cfg] = (float(r.permanent),
-                                 time.perf_counter() - t0)
+                                 time.perf_counter() - t0,
+                                 r.meta.get("auto"))
                 except Exception as e:   # a crash is a finding, not an abort
-                    vals[cfg] = (None, time.perf_counter() - t0)
+                    vals[cfg] = (None, time.perf_counter() - t0, None)
                     log(f"{name}/{cfg}: EXCEPTION {e!r}")
             if ref_val is None:
                 # arbiter precedence: exact DFS (above) > tf96 (int
@@ -259,7 +350,11 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
                     ref_val, ref_src = float(r.permanent), "host_f64"
                     log(f"{name}: host f64 arbiter = {ref_val:.12e} "
                         f"({time.perf_counter() - t0:.1f} s)")
-            for cfg, (v, w) in vals.items():
+            # absolute amplitude of the Ryser sum for this matrix: the
+            # irreducible-error scale of every fixed-precision engine
+            amp_abs_l2 = _amp_probe_log2(a)
+            for cfg, (v, w, am) in vals.items():
+                cond = False
                 if v is None:
                     status, rel = "EXCEPTION", None
                 else:
@@ -272,21 +367,45 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
                     # band, and the native row compared against tf96
                     # does too.  Transforms merge entries (d2 products
                     # concentrate magnitudes): wider, catastrophe-proof.
-                    if cfg in ("direct", "sparse"):
+                    if cfg == "exact":
+                        tol = 1e-12      # same integer, f64-rounded
+                    elif cfg in ("direct", "sparse"):
                         tol = (1e-7 if ref_src == "tpu_tf96"
                                or ref_src.startswith("dfs_core")
+                               or ref_src.startswith("exact_crt")
                                else 1e-6)
-                    elif cfg == "native_double":
-                        tol = 1e-5
                     else:
                         tol = 1e-5
                     status = "ok" if rel <= tol else "FAIL"
-                emit({**base, "class": cls, "config": cfg,
-                             "value": v, "wall_s": round(w, 3),
-                             "status": status, "rel_err_vs_ref": rel,
-                             "ref_value": ref_val, "ref_source": ref_src})
+                    if status == "FAIL" and ref_val != 0:
+                        # conditioning-limited explanations (docstring):
+                        # (a) calc=auto self-reported low confidence and
+                        #     its own bound covers the miss;
+                        # (b) fixed native double tier, and the suite's
+                        #     amplitude probe predicts the miss.
+                        aerr = abs(v - ref_val)
+                        if (am and am.get("low_confidence")
+                                and aerr <= 1e3 * float(am["err_est"])
+                                * max(abs(v), 1e-300)):
+                            status, cond = "ok", True
+                        elif (cfg == "native_double"
+                              and np.isfinite(amp_abs_l2)):
+                            pred = 2.0 ** (amp_abs_l2 - 53.0)
+                            if (pred > tol * abs(ref_val)
+                                    and aerr <= 1e3 * pred):
+                                status, cond = "ok", True
+                row = {**base, "class": cls, "config": cfg,
+                       "value": v, "wall_s": round(w, 3),
+                       "status": status, "rel_err_vs_ref": rel,
+                       "ref_value": ref_val, "ref_source": ref_src}
+                if cond:
+                    row["conditioning_limited"] = True
+                if am:
+                    row["auto"] = am
+                emit(row)
                 failures += status != "ok"
-                log(f"{name}/{cfg}: {v} rel={rel} [{status}]")
+                log(f"{name}/{cfg}: {v} rel={rel} [{status}]"
+                    + (" (conditioning-limited)" if cond else ""))
         else:
             # class C: estimator consistency across independent seeds
             trials = 20000 if quick else 100000
@@ -328,8 +447,12 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="SUITE_REPORT_REAL.jsonl")
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="keep rows from an interrupted run's .partial "
+                        "and skip their files")
     args = p.parse_args(argv)
-    return 1 if run_suite(args.out, quick=args.quick) else 0
+    return 1 if run_suite(args.out, quick=args.quick,
+                          resume=args.resume) else 0
 
 
 if __name__ == "__main__":

@@ -91,7 +91,12 @@ print("RESULT", repr(r.permanent), jax.process_count())
 s = sp.permanent("{spath}", sparse=True, chunk_log2=8, lanes=128)
 print("SPARSE", repr(s.permanent), int(s.meta.get("sparse") is not None))
 """
-    port = 23987
+    # a fixed port collides with stale coordinators from earlier runs
+    # (seen as process_count misreporting); bind-then-release a free one
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     code = script.format(port=port, path=mpath, spath=spath)
     procs = [subprocess.Popen([sys.executable, "-c", code, str(i)],
                               stdout=subprocess.PIPE,

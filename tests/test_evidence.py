@@ -124,3 +124,26 @@ def test_multichip_records_ok():
     d = json.load(open(paths[-1]))
     assert d.get("ok") is True
     assert d.get("skipped") is False
+
+
+def test_exact_known_table_certified():
+    """EXACT_KNOWN.jsonl: the reference corpus's first certified known
+    answers (exact CRT engine, held-out-prime verified at build time by
+    tools/exact_known.py).  Pin the hard rows — pores_1_r (amplitude
+    ~2^280: no float engine can touch it) and ex5_rs — plus internal
+    consistency across duplicate matrices."""
+    path = os.path.join(ROOT, "EXACT_KNOWN.jsonl")
+    if not os.path.exists(path):
+        pytest.skip("no exact-known table yet")
+    rows = {d["file"]: d for d in _lines(path)}
+    computed = [d for d in rows.values() if d.get("engine")]
+    assert len(computed) >= 10
+    # the two cancellation-pathological certifications
+    assert rows["pores_1_r.mtx"]["value"] == \
+        pytest.approx(2.827385787576332e+132, rel=1e-12)
+    assert rows["ex5_rs.mtx"]["value"] == \
+        pytest.approx(6.312903288818252e+164, rel=1e-12)
+    # same matrix via two readers (v2 .mtx vs v1 .mtxzero triplet)
+    assert rows["d_ss.mtx"]["value"] == rows["d_ss.mtxzero"]["value"]
+    assert rows["ibm32.mtxzero"]["value"] == rows["ibm32_p.mtx"]["value"]
+    assert rows["ibm32.mtxzero"]["value"] == 2398815.0

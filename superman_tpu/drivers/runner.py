@@ -299,8 +299,9 @@ def _run_auto(dm: DenseMatrix, flags: Flags, mesh) -> Result:
                     np.asarray(dm.mat, dtype=np.float64))
             except Exception:
                 secs, core_n = float("inf"), 0
+            from ..ops.exact import _tpu_backend
             if secs < float(flags.auto_exact_budget_s) and (
-                    core_n <= 16 or native_available()):
+                    core_n <= 16 or native_available() or _tpu_backend()):
                 from ..ops.exact import perman_exact
                 ex = perman_exact(dm, flags)
                 ex.meta["auto"] = {

@@ -210,10 +210,29 @@ def _log2_bound(m: List[List[int]]) -> float:
     return total
 
 
+#: native cost above which the TPU modular engine (ops/modp.py) takes
+#: over when a TPU is attached; below it the CPU walk wins (no Mosaic
+#: compile, 61-bit primes need ~5x fewer walks per CRT bit)
+_TPU_CROSSOVER_S = 300.0
+
+#: fixed TPU overhead charged in estimates: Mosaic compiles + packing
+_TPU_FIXED_S = 120.0
+
+
+def _tpu_backend() -> bool:
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def exact_cost_estimate(a: np.ndarray) -> Tuple[float, int, int]:
     """(seconds, nprimes, core_n) for perman_exact_fraction on this host.
 
-    ~6 ns per (column-update + Montgomery product) element step.
+    ~6 ns per (column-update + Montgomery product) element step for the
+    native CPU walk; past _TPU_CROSSOVER_S with a TPU attached, the
+    estimate switches to the modular Pallas engine's (ops/modp.py).
     """
     m, k = dyadic_int_matrix(a)
     core, mult = _fold_lines([row[:] for row in m])
@@ -223,12 +242,22 @@ def exact_cost_estimate(a: np.ndarray) -> Tuple[float, int, int]:
     bits = _log2_bound(core) + 3
     npr = max(1, math.ceil(bits / 61.0)) + 1
     secs = npr * (1 << max(0, n - 1)) * n * 6e-9
+    if secs > _TPU_CROSSOVER_S and _tpu_backend():
+        from .modp import tpu_cost_estimate
+        secs = min(secs, tpu_cost_estimate(core, bits) + _TPU_FIXED_S)
     return secs, npr, n
 
 
 def perman_exact_fraction(a: np.ndarray, threads: int = 0,
-                          log=None) -> Tuple[Fraction, dict]:
-    """EXACT permanent of the f64 matrix `a`, as a Fraction."""
+                          log=None, engine: Optional[str] = None,
+                          ) -> Tuple[Fraction, dict]:
+    """EXACT permanent of the f64 matrix `a`, as a Fraction.
+
+    engine: None picks by cost — native CPU Montgomery walks for cheap
+    cores, the TPU modular Pallas engine (ops/modp.py) past
+    _TPU_CROSSOVER_S when a TPU is attached; "native" / "tpu" / "host"
+    force a backend (tests force "tpu" in interpret mode off-device).
+    """
     t0 = time.perf_counter()
     a = np.asarray(a, dtype=np.float64)
     n0 = a.shape[0]
@@ -246,38 +275,64 @@ def perman_exact_fraction(a: np.ndarray, threads: int = 0,
         nc = len(core)
         bits = _log2_bound(core) + 3            # sign + slack headroom
         need = max(1, math.ceil(bits / 61.0))
-        prs = primes_desc(need + 1)             # +1 held-out verifier
         from ..bindings.native import native_available, perman_mod_batch
-        if native_available() and nc >= 2:
-            mats = np.empty((len(prs), nc, nc), dtype=np.uint64)
-            for i, p in enumerate(prs):
-                mats[i] = [[v % p for v in row] for row in core]
-            res = perman_mod_batch(mats, np.asarray(prs, np.uint64),
-                                   threads)
-            residues = [int(r) for r in res]
-            meta["engine"] = "native_mod"
-        elif nc <= 16:
-            residues = [_perman_mod_host(core, p) for p in prs]
-            meta["engine"] = "host_mod"
+        if engine is None:
+            native_secs = ((need + 1) * (1 << max(0, nc - 1)) * nc * 6e-9
+                           if native_available() and nc >= 2 else math.inf)
+            if native_secs <= _TPU_CROSSOVER_S:
+                engine = "native"
+            elif _tpu_backend():
+                from .modp import tpu_cost_estimate
+                engine = ("tpu" if tpu_cost_estimate(core, bits)
+                          + _TPU_FIXED_S < native_secs else "native")
+            elif math.isfinite(native_secs):
+                engine = "native"
+            elif nc <= 16:
+                engine = "host"
+            else:
+                raise RuntimeError(
+                    f"exact permanent needs the native engine or a TPU "
+                    f"for core n={nc}")
+        if engine == "tpu":
+            from .modp import crt_perman_core
+            per_core, tmeta = crt_perman_core(core, log=log)
+            meta.update(engine="tpu_mod", nprimes=tmeta["nprimes"],
+                        bound_bits=tmeta["bound_bits"],
+                        live_frac=tmeta["live_frac"])
         else:
-            raise RuntimeError(
-                f"exact permanent needs the native engine for core n={nc}")
-        X, P = 0, 1
-        for r, p in zip(residues[:need], prs[:need]):
-            t = (r - X) * pow(P, -1, p) % p
-            X += P * t
-            P *= p
-        if X > P // 2:
-            X -= P
-        # end-to-end certification against the held-out prime: a kernel
-        # or CRT bug cannot return silently (P covers |per| by the
-        # row-sum bound, so X is forced — the verifier must match)
-        if X % prs[need] != residues[need]:
-            raise AssertionError(
-                "exact CRT verification prime mismatch — modular walk "
-                "or reconstruction is broken")
-        per_core = X
-        meta.update(nprimes=need, bound_bits=round(bits, 1))
+            prs = primes_desc(need + 1)         # +1 held-out verifier
+            if engine == "native" and native_available() and nc >= 2:
+                mats = np.empty((len(prs), nc, nc), dtype=np.uint64)
+                for i, p in enumerate(prs):
+                    mats[i] = [[v % p for v in row] for row in core]
+                res = perman_mod_batch(mats, np.asarray(prs, np.uint64),
+                                       threads)
+                residues = [int(r) for r in res]
+                meta["engine"] = "native_mod"
+            elif nc <= 16:
+                residues = [_perman_mod_host(core, p) for p in prs]
+                meta["engine"] = "host_mod"
+            else:
+                raise RuntimeError(
+                    f"exact permanent needs the native engine for core "
+                    f"n={nc}")
+            X, P = 0, 1
+            for r, p in zip(residues[:need], prs[:need]):
+                t = (r - X) * pow(P, -1, p) % p
+                X += P * t
+                P *= p
+            if X > P // 2:
+                X -= P
+            # end-to-end certification against the held-out prime: a
+            # kernel or CRT bug cannot return silently (P covers |per|
+            # by the row-sum bound, so X is forced — the verifier must
+            # match)
+            if X % prs[need] != residues[need]:
+                raise AssertionError(
+                    "exact CRT verification prime mismatch — modular "
+                    "walk or reconstruction is broken")
+            per_core = X
+            meta.update(nprimes=need, bound_bits=round(bits, 1))
     per_int = mult * per_core
     frac = Fraction(per_int, den)
     meta["wall_s"] = time.perf_counter() - t0

@@ -1,0 +1,589 @@
+"""Z_p modular Ryser walk on TPU — exact permanents past the CPU frontier.
+
+The exact CRT engine (ops/exact.py) runs the Nijenhuis–Wilf walk in Z_p
+on the host CPU (native Montgomery kernel) — practical to core n ~ 33.
+The reference corpus's hardest files fold to cores far beyond that
+(chesapeake n=39, cage5_c2 n=37, will57 n=49-core at <1% live), where
+ONLY an exact engine can state the answer: their cancellation amplitude
+(up to 2^280 over |per|) defeats every float tier including the
+reference's ``__float128`` (revised main.cpp:141-167).
+
+This module runs the SAME Z_p walk as a TPU Pallas kernel, reusing the
+engine's whole planning stack (aligned gray chunks `ops/gray.py`, pruned
+live-chunk plans `ops/pruning.py`):
+
+* primes p <= 4093: residues and their pairwise products stay integers
+  < 2^24, every one EXACTLY representable in f32 — the walk is ordinary
+  VPU f32 arithmetic with a floor-multiply Barrett-style reduction
+  (q = floor(v * (1/p)); r = v - q*p; two conditional +-p corrections
+  absorb the f32 reciprocal's +-1 quotient error).  ~12 bits/prime, so
+  a B-bit CRT bound costs ceil(B/12) walks.
+* x updates, the product tree (aligned 8-row groups first — sublane
+  alignment is load-bearing, see ops/df64.py), and the accumulator all
+  reduce mod p each step; a lane's partial sum stays < p, so per-block
+  sums are EXACT plain f32 adds (KB*p < 2^24) and the host total is an
+  exact float64 sum (< 2^53) reduced once.
+* p and 1/p ride in VMEM rows beside the mid-step sign (aux[3, L]), and
+  r stays a runtime SMEM scalar — compile keys are shape-only, so ONE
+  Mosaic compile serves every prime and every chunk size (the axon
+  remote compiler cannot persist executables across processes).
+* no grid (axon rejects gridded kernels): single-program calls
+  sequenced with lax.map, KB=32 blocks per program amortizing launch
+  overhead, power-of-two block grouping reusing compiled shapes, and
+  per-launch iteration caps below the device watchdog.
+
+No reference counterpart at any precision.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import gray
+
+_I32 = jnp.int32
+
+#: largest usable prime: p^2 must stay an exact f32 integer (< 2^24)
+PRIME_CEIL = 4093
+
+#: measured-on-hardware lane-iteration rate placeholder for cost
+#: estimates (per prime); refined by tools once measured
+MOD_GITERS = 10.0e9
+
+#: per-launch gray-iteration cap: the axon stack kills device programs
+#: past ~40-60 s (see parallel/sharding.py) — stay well under
+_CAP_ITERS = int(12.0 * MOD_GITERS)
+
+
+def primes_mod(count: int) -> list:
+    """`count` distinct odd primes descending from PRIME_CEIL."""
+    from .exact import _is_prime_u64
+    out, c = [], PRIME_CEIL
+    while len(out) < count:
+        if _is_prime_u64(c):
+            out.append(c)
+        c -= 2
+        if c < 3:
+            raise ValueError("prime pool below 3 exhausted")
+    return out
+
+
+# --------------------------------------------------------- host packing
+
+def reduce_core_mod(core, p: int):
+    """Residue matrix of a bigint core mod p, as (n, n) int64 ndarray."""
+    return np.asarray([[int(v) % p for v in row] for row in core],
+                      dtype=np.int64)
+
+
+def pack_mod(am: np.ndarray, p: int, n_pad: int):
+    """Host pack of a residue matrix: (x0v, cols, colst) f32 arrays.
+
+    x0v:   (n_pad,) walk init x0 = a[:,n-1] - rowsum/2 in Z_p (inv2 =
+           (p+1)/2), pad rows 1 (multiplicative identity);
+    cols:  (n-1, n_pad) residue columns for the device chunk init;
+    colst: (n_pad, nb_pad) transposed column table for the kernel.
+    """
+    n = am.shape[0]
+    inv2 = (p + 1) // 2
+    rs = am.sum(axis=1) % p
+    x0 = (am[:, n - 1] + (p - rs) * inv2) % p
+    x0v = np.ones(n_pad, dtype=np.float32)
+    x0v[:n] = x0.astype(np.float32)
+    cols = np.zeros((n - 1, n_pad), dtype=np.float32)
+    cols[:, :n] = am[:, : n - 1].T.astype(np.float32)
+    nb_pad = -(-(n - 1) // 128) * 128
+    colst = np.zeros((n_pad, nb_pad), dtype=np.float32)
+    colst[:n, : n - 1] = am[:, : n - 1].astype(np.float32)
+    return x0v, cols, colst
+
+
+# ----------------------------------------------------- device chunk init
+
+@functools.partial(jax.jit, static_argnames=("n", "n_pad"))
+def chunk_init_mod(chunk_ids, x0v, cols, p, invp, n: int, n_pad: int, r):
+    """Per-lane Z_p x init from chunk ids (mirrors gray.chunk_init).
+
+    The bit-weighted column sum stays < n_pad * p < 2^18 — exact in f32 —
+    and reduces mod p once at the end.  Dead (sentinel) lanes get x = 0:
+    every product term is then 0, contributing nothing in any Z_p.
+    Returns (x, aux) with aux = [sign_mid; p; invp] rows, (B, 3, L).
+    """
+    dead = (chunk_ids < 0)
+    ids = jnp.where(dead, 0, chunk_ids)
+    bits_f = gray.chunk_gray_bits(ids, n, r).astype(jnp.float32)
+    x = jnp.broadcast_to(x0v[None, :, None],
+                         ids.shape[:1] + (n_pad, ids.shape[1]))
+    for k in range(n - 1):
+        x = x + cols[k][None, :, None] * bits_f[:, :, k][:, None, :]
+    q = jnp.floor(x * invp)
+    x = x - q * p
+    x = jnp.where(x < 0, x + p, x)
+    x = jnp.where(x >= p, x - p, x)
+    alive = jnp.where(dead, 0.0, 1.0).astype(jnp.float32)[:, None, :]
+    x = x * alive
+    smid = (1 - 2 * (ids & 1)).astype(jnp.float32)[:, None, :]
+    pf = jnp.full_like(smid, p)
+    pinv = jnp.full_like(smid, invp)
+    return x, jnp.concatenate([smid, pf, pinv], axis=1)
+
+
+# ------------------------------------------------------------- the walk
+
+def _mod_reduce(v, p_row, invp_row):
+    """v (exact f32 integer in [0, p^2]) -> v mod p in [0, p)."""
+    q = jnp.floor(v * invp_row)
+    rr = v - q * p_row
+    rr = jnp.where(rr < jnp.float32(0), rr + p_row, rr)
+    return jnp.where(rr >= p_row, rr - p_row, rr)
+
+
+def _tree_prod_mod(x, p_row, invp_row):
+    """Product over axis 0 of (s, L) residues, mod p at every level
+    (products of two residues are exact f32; three are not).  Same
+    aligned 8-row-group fold order as df64.tree_prod_f32."""
+    s = x.shape[0]
+    if s & (s - 1) != 0:
+        assert s % 8 == 0, f"pad axis 0 to a multiple of 8, got {s}"
+        prod = _mod_reduce(x[0:8] * x[8:16], p_row, invp_row)
+        for b in range(2, s // 8):
+            prod = _mod_reduce(prod * x[8 * b:8 * b + 8], p_row, invp_row)
+        x, s = prod, 8
+    while s > 1:
+        s //= 2
+        x = _mod_reduce(x[:s] * x[s:], p_row, invp_row)
+    return x
+
+
+def _x_add(x, c, p_row):
+    """x + c with both in [0, p): one conditional correction."""
+    v = x + c
+    return jnp.where(v >= p_row, v - p_row, v)
+
+
+def _x_sub(x, c, p_row):
+    v = x - c
+    return jnp.where(v < jnp.float32(0), v + p_row, v)
+
+
+def _x_add_signed(x, c, s_row, p_row):
+    """x + s*c for a (1, L) sign row of +-1: both corrections."""
+    v = x + c * s_row
+    v = jnp.where(v < jnp.float32(0), v + p_row, v)
+    return jnp.where(v >= p_row, v - p_row, v)
+
+
+def _acc_add_mod(acc, prod, pos, p_row):
+    """acc (+/-)= prod in Z_p; `pos` may be a python bool or a (1, L)
+    +-1 f32 row (the dynamic-step sign)."""
+    if pos is True:
+        t = prod
+    elif pos is False:
+        t = p_row - prod          # prod == 0 -> t == p, fixed below
+    else:
+        t = jnp.where(pos > jnp.float32(0), prod, p_row - prod)
+    v = acc + t
+    return jnp.where(v >= p_row, v - p_row, v)
+
+
+def _walk_mod_scalar(r, x0, aux, colst):
+    """Per-step-ctz Z_p walk over one (n_pad, L) lane block; returns the
+    (8, L) output (row 0 = per-lane sum mod p).  Bitwise-identical op
+    sequence to the unrolled walk; interpret mode uses this body."""
+    from .ryser_pallas import _ctz
+    n_pad, L = x0.shape
+    nb_pad = colst.shape[1]
+    smid = aux[0:1]
+    p_row = aux[1:2]
+    invp_row = aux[2:3]
+    lane_k = lax.broadcasted_iota(jnp.int32, (n_pad, nb_pad), 1)
+
+    acc = _tree_prod_mod(x0, p_row, invp_row)      # m = 0 term, sign +1
+
+    def body(m, carry):
+        x, acc = carry
+        k = _ctz(m)
+        s_scalar = jnp.where(((m >> (k + _I32(1))) & _I32(1)) == _I32(0),
+                             jnp.float32(1), jnp.float32(-1))
+        s_row = jnp.where(k == r - _I32(1), smid, s_scalar)
+        sel = (lane_k == k).astype(jnp.float32)
+        ck = jnp.sum(colst * sel, axis=1, keepdims=True)
+        x = _x_add_signed(x, ck, s_row, p_row)
+        prod = _tree_prod_mod(x, p_row, invp_row)
+        sign_m = jnp.where((m & _I32(1)) == _I32(0),
+                           jnp.float32(1), jnp.float32(-1))
+        acc = _acc_add_mod(acc, prod, sign_m, p_row)
+        return x, acc
+
+    _, acc = lax.fori_loop(_I32(1), _I32(1) << r, body, (x0, acc))
+    pad = jnp.zeros((7, L), dtype=jnp.float32)
+    return jnp.concatenate([acc, pad], axis=0)
+
+
+def _walk_mod_u16(r, x0, aux, colst, *, u: int = 4):
+    """Unrolled Z_p walk (static-table structure of ryser_pallas's
+    _walk_u16: within an aligned 2**u block every flipped column and
+    sign is compile-time static except the half-block parity and the
+    one dynamic end-of-block select)."""
+    from .ryser_pallas import _ctz, _static_table
+    n_pad, L = x0.shape
+    nb_pad = colst.shape[1]
+    smid = aux[0:1]
+    p_row = aux[1:2]
+    invp_row = aux[2:3]
+    lane_k = lax.broadcasted_iota(jnp.int32, (n_pad, nb_pad), 1)
+    ck_static = [colst[:, k:k + 1] for k in range(u)]
+
+    def static_steps(carry, b_parity_pos):
+        x, acc = carry
+        for j, k, sgn in _static_table(u):
+            if sgn == 0:          # j == 2**(u-1): sign is the block parity
+                x = _x_add_signed(x, ck_static[u - 1], b_parity_pos, p_row)
+            elif sgn > 0:
+                x = _x_add(x, ck_static[k], p_row)
+            else:
+                x = _x_sub(x, ck_static[k], p_row)
+            prod = _tree_prod_mod(x, p_row, invp_row)
+            acc = _acc_add_mod(acc, prod, (j & 1) == 0, p_row)
+        return x, acc
+
+    acc0 = _tree_prod_mod(x0, p_row, invp_row)     # m = 0 term
+    nb = _I32(1) << (r - _I32(u))
+
+    def block(b, carry):
+        s8 = jnp.where((b & _I32(1)) == _I32(0),
+                       jnp.float32(1), jnp.float32(-1))
+        x, acc = static_steps(carry, s8)
+        # j = 2**u: column k = u + ctz(b+1), the only dynamic select
+        q = b + _I32(1)
+        c = _ctz(q)
+        k16 = c + _I32(u)
+        s16 = jnp.where(((q >> (c + _I32(1))) & _I32(1)) == _I32(0),
+                        jnp.float32(1), jnp.float32(-1))
+        s_row = jnp.where(k16 == r - _I32(1), smid, s16)
+        sel = (lane_k == k16).astype(jnp.float32)
+        ck = jnp.sum(colst * sel, axis=1, keepdims=True)
+        x = _x_add_signed(x, ck, s_row, p_row)
+        prod = _tree_prod_mod(x, p_row, invp_row)
+        acc = _acc_add_mod(acc, prod, True, p_row)
+        return x, acc
+
+    carry = lax.fori_loop(_I32(0), nb - _I32(1), block, (x0, acc0))
+    s8_last = jnp.where(((nb - _I32(1)) & _I32(1)) == _I32(0),
+                        jnp.float32(1), jnp.float32(-1))
+    _, acc = static_steps(carry, s8_last)
+    pad = jnp.zeros((7, L), dtype=jnp.float32)
+    return jnp.concatenate([acc, pad], axis=0)
+
+
+def _mod_kernel(r_ref, x_ref, aux_ref, colst_ref, out_ref):
+    out_ref[:] = _walk_mod_scalar(r_ref[0], x_ref[:], aux_ref[:],
+                                  colst_ref[:])
+
+
+def _mod_kernel_u16(r_ref, x_ref, aux_ref, colst_ref, out_ref, *, u: int):
+    out_ref[:] = _walk_mod_u16(r_ref[0], x_ref[:], aux_ref[:],
+                               colst_ref[:], u=u)
+
+
+def _mod_kernel_u16_multi(r_ref, x_ref, aux_ref, colst_ref, out_ref, *,
+                          u: int):
+    """KB lane blocks per program (internal fori_loop) — amortizes the
+    ~0.5 ms per-program launch overhead exactly like the df64 engine's
+    multi-block kernel."""
+    KB = x_ref.shape[0]
+    colst = colst_ref[:]
+
+    def body(b, carry):
+        out_ref[b] = _walk_mod_u16(r_ref[0], x_ref[b], aux_ref[b],
+                                   colst, u=u)
+        return carry
+
+    lax.fori_loop(_I32(0), _I32(KB), body, _I32(0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_u16", "u", "interpret", "allow_multi"))
+def _mod_partials_jit(r_arr, x, aux, colst, *, use_u16: bool, u: int,
+                      interpret: bool, allow_multi: bool = True):
+    """(B, n_pad, L) lane inits -> (G or B, 8, L) partial sums.
+
+    Per-lane sums are < p; the KB=32 group reduce is a PLAIN f32 sum
+    (32 * p < 2^17, exact) — the caller host-sums in f64 (exact to 2^53)
+    and reduces mod p once.
+    """
+    B, n_pad, L = x.shape
+    KB = 32 if (allow_multi and use_u16 and B % 32 == 0 and B >= 32) else 1
+    if KB > 1:
+        kern = functools.partial(_mod_kernel_u16_multi, u=u)
+    elif use_u16:
+        kern = functools.partial(_mod_kernel_u16, u=u)
+    else:
+        kern = _mod_kernel
+    out_sh = (KB, 8, L) if KB > 1 else (8, L)
+    call = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(out_sh, jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=KB * L * (1 << 16) * 8 * n_pad,
+            bytes_accessed=KB * int(n_pad) * L * 4 * 2, transcendentals=0),
+        interpret=interpret,
+    )
+    if KB > 1:
+        G = B // KB
+
+        def one_group(args):
+            bx, baux = args
+            out = call(r_arr, bx, baux, colst)
+            return jnp.sum(out, axis=0)          # exact: KB * p < 2^24
+
+        return lax.map(one_group, (x.reshape(G, KB, n_pad, L),
+                                   aux.reshape(G, KB, 3, L)))
+
+    def one_block(args):
+        bx, baux = args
+        return call(r_arr, bx, baux, colst)
+
+    return lax.map(one_block, (x, aux))
+
+
+def mod_partials(ids_blocks: np.ndarray, x0v, cols, colst, p: int, *,
+                 n: int, n_pad: int, r: int, interpret: bool) -> float:
+    """Walk the (B, L) chunk-id blocks mod p; returns sum of per-lane
+    partials as an exact float64 (caller reduces mod p).
+
+    Splits long launches into power-of-two block groups under the device
+    watchdog cap, reusing compiled shapes (same discipline as
+    parallel/sharding.compute_partials).
+    """
+    B, L = ids_blocks.shape
+    per_block = L << r
+    if not interpret and B > 1 and B * per_block > _CAP_ITERS:
+        g = max(1, _CAP_ITERS // per_block)
+        g = 1 << (int(g).bit_length() - 1)
+        return float(sum(
+            mod_partials(ids_blocks[i:i + g], x0v, cols, colst, p,
+                         n=n, n_pad=n_pad, r=r, interpret=interpret)
+            for i in range(0, B, g)))
+    use_u16 = bool(r >= 5 and not interpret)
+    u = min(5, r - 1) if use_u16 else 4
+    allow_multi = (r + int(np.log2(max(L, 1))) + 5) <= 33
+    invp = np.float32(1.0) / np.float32(p)
+    x, aux = chunk_init_mod(jnp.asarray(ids_blocks, jnp.int32),
+                            jnp.asarray(x0v), jnp.asarray(cols),
+                            jnp.float32(p), invp, n=n, n_pad=n_pad,
+                            r=jnp.int32(r))
+    out = _mod_partials_jit(jnp.asarray([r], jnp.int32), x, aux,
+                            jnp.asarray(colst), use_u16=use_u16, u=u,
+                            interpret=interpret, allow_multi=allow_multi)
+    return float(np.asarray(out[:, 0, :], dtype=np.float64).sum())
+
+
+# ------------------------------------------------------------ the driver
+
+def perman_core_mod(core, p: int, *, ids=None, r=None, lanes: int = 512,
+                    interpret=None) -> int:
+    """per(core) mod p for a bigint core matrix, walked on the TPU.
+
+    ids/r: optional pruned live-chunk plan (ids in [0, 2^(n-1-r))); the
+    dense walk covers the full index space.  Matches ops/exact.py's
+    _perman_mod_host / the native sup_perman_mod bit for bit in Z_p.
+    """
+    n = len(core)
+    if n == 0:
+        return 1 % p
+    if n == 1:
+        return int(core[0][0]) % p
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    am = reduce_core_mod(core, p)
+    n_pad = gray.pad_n(n)
+    x0v, cols, colst = pack_mod(am, p, n_pad)
+    if r is None:
+        plan = gray.make_plan(n, lanes=lanes, df=True)
+        r = plan.r
+        lanes = plan.lanes
+    if ids is None:
+        ids = np.arange(1 << max(0, n - 1 - r), dtype=np.int64)
+    from ..parallel.sharding import pad_ids
+    ids_blocks = pad_ids(np.asarray(ids, dtype=np.int64).astype(np.int32),
+                         min(lanes, max(1, len(ids))), 1,
+                         block_multiple=32 if len(ids) >= 32 else 1)
+    total = mod_partials(ids_blocks, x0v, cols, colst, p,
+                         n=n, n_pad=n_pad, r=int(r), interpret=interpret)
+    acc = int(round(total)) % p
+    acc = (2 * acc) % p
+    if not (n & 1):
+        acc = (-acc) % p
+    return acc
+
+
+def _doubled_object(core) -> np.ndarray:
+    """(n, n) object ndarray of 2*entry — doubled so the half-integer
+    walk values x = a[:,n-1] - rowsum/2 become exact bigints."""
+    n = len(core)
+    a2 = np.empty((n, n), dtype=object)
+    for i, row in enumerate(core):
+        for j, v in enumerate(row):
+            a2[i, j] = 2 * int(v)
+    return a2
+
+
+def _live_exact(a2: np.ndarray, r: int):
+    """Exact-bigint twin of pruning._live_for: live chunk ids at chunk
+    length 2**r, with every x_z(base) == 0 test in integer arithmetic.
+
+    pruning.py's f64 zero test is exact for half-integer walks whose
+    sums fit the 53-bit mantissa; d2-folded or dyadic-lifted cores can
+    exceed that (cage5_c2 lifts to 57-bit entries), where a rounded
+    zero test would silently drop NONZERO terms — fatal for an exact
+    engine.  Scoring may approximate; THIS mask may not.
+    """
+    from .pruning import const_rows, inverse_gray
+    n = a2.shape[0]
+    m = n - 1 - r
+    if m < 1:
+        return None
+    support = np.vectorize(bool)(a2)
+    cr = const_rows(support, r)
+    if len(cr) == 0:
+        return None
+    dead = None
+    for z in cr:
+        cols = np.nonzero(support[z, : n - 1])[0]
+        x0_2 = a2[z, n - 1] - sum(a2[z]) // 2       # doubled x0, exact
+        pat = [x0_2]
+        for j in cols:
+            v = a2[z, j]
+            pat = pat + [pv + v for pv in pat]
+        zpat = np.array([pv == 0 for pv in pat], dtype=bool)
+        if not zpat.any():
+            continue
+        if dead is None:
+            dead = np.zeros((2,) * m, dtype=bool)
+        bits = cols - r
+        shape = [1] * m
+        for j in bits:
+            shape[m - 1 - j] = 2
+        dead |= zpat.reshape(shape)
+    if dead is None:
+        return None
+    g_live = np.nonzero(~dead.ravel())[0].astype(np.uint64)
+    ids = inverse_gray(g_live, m).astype(np.int64)
+    ids.sort()
+    return ids
+
+
+def _score_float(core) -> np.ndarray:
+    """Magnitude-clipped f64 image of a bigint core — for ORDERING and
+    cost scoring only (zero pattern preserved; values approximate)."""
+    def f(v):
+        try:
+            x = float(v)
+        except OverflowError:
+            x = math.inf if v > 0 else -math.inf
+        if not np.isfinite(x):
+            x = math.copysign(1e300, x)
+        return x
+    return np.asarray([[f(v) for v in row] for row in core],
+                      dtype=np.float64)
+
+
+def core_plan(core, *, lanes: int = 512):
+    """Pruned live-chunk plan for a bigint core.
+
+    Plan CHOICE (column order, r) comes from the engine's measured-cost
+    planner on a float image; the live-id mask is then recomputed in
+    exact bigint arithmetic (_live_exact).  Returns
+    (col_perm, ids, r, live_frac) or None (use the dense index space).
+    """
+    from .pruning import plan_sparse
+    sp = plan_sparse(_score_float(core), chunk_log2=None, df=True,
+                     allow_factor=False, giters=MOD_GITERS / 1e9)
+    if sp is None:
+        return None
+    a2 = _doubled_object(core)[:, sp.col_perm]
+    ids = _live_exact(a2, sp.r)
+    if ids is None:
+        return None
+    n = len(core)
+    live_frac = len(ids) / (1 << (n - 1 - sp.r))
+    return sp.col_perm, ids, sp.r, live_frac
+
+
+def tpu_cost_estimate(core, bound_bits: float) -> float:
+    """Rough seconds for the full CRT run of this core on one chip."""
+    n = len(core)
+    nprimes = max(1, math.ceil(bound_bits / math.log2(PRIME_CEIL))) + 1
+    pl_ = core_plan(core)
+    live = (1 << max(0, n - 1)) if pl_ is None else (len(pl_[1]) << pl_[2])
+    return nprimes * live / MOD_GITERS
+
+
+def crt_perman_core(core, *, lanes: int = 512, interpret=None,
+                    log=None):
+    """EXACT ``per(core)`` of a bigint core, CRT over TPU Z_p walks.
+
+    The integer twin of ops/exact.perman_exact_fraction's native_mod
+    backend, for cores past the single-core CPU frontier (n ~ 33):
+    residues come from `perman_core_mod` (12-bit primes, f32 VPU walks),
+    the live-chunk plan is computed ONCE in exact bigint arithmetic and
+    shared by every prime, and a held-out verification prime certifies
+    the reconstruction end to end — a kernel or CRT bug cannot return
+    silently.  Returns ``(per, meta)``.
+    """
+    from .exact import _is_prime_u64, _log2_bound
+    t0 = time.perf_counter()
+    n = len(core)
+    bits = _log2_bound(core) + 3
+    need_primes, cov, c = [], 0.0, PRIME_CEIL
+    while cov < bits or not need_primes:
+        while not _is_prime_u64(c):
+            c -= 2
+        need_primes.append(c)
+        cov += math.log2(c)
+        c -= 2
+    while not _is_prime_u64(c):
+        c -= 2
+    verifier = c
+    plan = core_plan(core, lanes=lanes)
+    if plan is not None:
+        col_perm, ids, r, live_frac = plan
+        work = [[core[i][j] for j in col_perm] for i in range(n)]
+    else:
+        work, ids, r, live_frac = core, None, None, 1.0
+    residues = []
+    for i, p in enumerate(need_primes + [verifier]):
+        residues.append(perman_core_mod(work, p, ids=ids, r=r,
+                                        lanes=lanes, interpret=interpret))
+        if log:
+            log(f"tpu_mod: prime {i + 1}/{len(need_primes) + 1} "
+                f"(p={p}) done at {time.perf_counter() - t0:.1f}s")
+    X, P = 0, 1
+    for rr, p in zip(residues[:-1], need_primes):
+        t = (rr - X) * pow(P, -1, p) % p
+        X += P * t
+        P *= p
+    if X > P // 2:
+        X -= P
+    if X % verifier != residues[-1]:
+        raise AssertionError(
+            "tpu_mod CRT verification prime mismatch — modular walk or "
+            "reconstruction is broken")
+    meta = {"engine": "tpu_mod", "nprimes": len(need_primes),
+            "bound_bits": round(bits, 1), "live_frac": live_frac,
+            "r": r, "wall_s": time.perf_counter() - t0}
+    return X, meta

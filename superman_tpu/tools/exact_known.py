@@ -10,7 +10,12 @@ corpus its first actual known answers.  real_suite.py arbitrates
 against these rows.
 
 Run:  python -m superman_tpu.tools.exact_known [--out EXACT_KNOWN.jsonl]
-      [--budget SECONDS]
+      [--budget SECONDS] [--files SUBSTR ...] [--merge]
+
+--merge keeps existing rows (skipping their files) so a TPU host can
+extend the table with just the big cores the CPU walk cannot reach
+(chesapeake core n=39, cage5_c2 n=37, will57 core n=49 — ops/modp.py)
+without re-paying the 23 minutes of already-certified CPU rows.
 """
 
 from __future__ import annotations
@@ -28,15 +33,31 @@ def main(argv=None):
     p.add_argument("--out", default="EXACT_KNOWN.jsonl")
     p.add_argument("--budget", type=float, default=2000.0,
                    help="per-file cost-estimate cap in seconds")
+    p.add_argument("--files", nargs="*", default=None,
+                   help="only files whose name contains one of these")
+    p.add_argument("--merge", action="store_true",
+                   help="keep existing rows; only compute missing files")
     args = p.parse_args(argv)
 
     from ..io.matrixmarket import read_any
     from ..ops import exact
     from .real_suite import corpus
 
+    done = {}
+    if args.merge and os.path.exists(args.out):
+        for line in open(args.out):
+            row = json.loads(line)
+            done[row["file"]] = line.rstrip("\n")
+
     out = open(args.out + ".partial", "w")
+    for line in done.values():
+        out.write(line + "\n")
     for path in corpus():
         name = os.path.basename(path)
+        if name in done:
+            continue
+        if args.files and not any(s in name for s in args.files):
+            continue
         a = np.asarray(read_any(path, 0, 0, 0).mat, np.float64)
         secs, npr, core_n = exact.exact_cost_estimate(a)
         if secs > args.budget:
@@ -44,7 +65,8 @@ def main(argv=None):
                   flush=True)
             continue
         t0 = time.time()
-        frac, meta = exact.perman_exact_fraction(a)
+        frac, meta = exact.perman_exact_fraction(a, log=lambda s: print(
+            f"  {name}: {s}", flush=True))
         val = exact._float_of_fraction(frac)
         sign, l2 = ((0.0, None) if frac == 0 else
                     (1.0 if frac > 0 else -1.0,

@@ -91,8 +91,10 @@ def test_extreme_magnitudes(rng):
 
 
 def test_calc_auto_escalation(rng):
-    """calc='auto': benign matrices stay on df64; a tight auto_target
-    forces the tf96 escalation path."""
+    """calc='auto': benign matrices stay on df64; an impossible
+    auto_target climbs the full ladder to the exact CRT rung; with a
+    zero exact budget the ladder stops at tf96 FLAGGED low_confidence
+    (self-reported error bound instead of silent noise)."""
     a = random_int_matrix(rng, 20, 0.5, vmax=2)
     r = sp.permanent(a, calc="auto", chunk_log2=6, lanes=256)
     assert r.meta["auto"]["escalated"] is None
@@ -100,5 +102,11 @@ def test_calc_auto_escalation(rng):
 
     r2 = sp.permanent(a, calc="auto", chunk_log2=6, lanes=256,
                       auto_target=1e-30)
-    assert r2.meta["auto"]["escalated"] == "tf96"
-    assert r2.permanent == pytest.approx(perman64(a), rel=1e-9)
+    assert r2.meta["auto"]["escalated"] == "exact"
+    assert r2.permanent == pytest.approx(perman64(a), rel=1e-12)
+
+    r3 = sp.permanent(a, calc="auto", chunk_log2=6, lanes=256,
+                      auto_target=1e-30, auto_exact_budget_s=0.0)
+    assert r3.meta["auto"]["escalated"] == "tf96"
+    assert r3.meta["auto"].get("low_confidence") is True
+    assert r3.permanent == pytest.approx(perman64(a), rel=1e-9)

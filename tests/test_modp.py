@@ -1,0 +1,141 @@
+"""Z_p modular TPU engine (ops/modp.py) vs the host/native exact twins.
+
+Interpret mode runs the scalar kernel body on XLA:CPU — the bitwise-
+identical op sequence to the device walk — so every Z_p identity checked
+here pins the hardware path too.  No reference counterpart: the
+reference has no exact engine at any scale (its double and __float128
+walks disagree by factors of 40+ on its own corpus; see
+SUITE_REPORT_REAL.jsonl).
+"""
+
+import numpy as np
+import pytest
+
+from superman_tpu.ops import modp
+from superman_tpu.ops.exact import (_perman_bigint_dfs, _perman_mod_host,
+                                    perman_exact_fraction)
+
+
+def _rand_int_matrix(rng, n, density=1.0, hi=50):
+    m = rng.integers(1, hi, size=(n, n))
+    if density < 1.0:
+        m = m * (rng.random((n, n)) < density)
+    return [[int(v) for v in row] for row in m]
+
+
+def test_dense_mod_walk_matches_host_twin(rng):
+    for n in (2, 3, 5, 8, 13):
+        m = _rand_int_matrix(rng, n, density=0.7)
+        for p in (4093, 251):
+            assert (modp.perman_core_mod(m, p, interpret=True)
+                    == _perman_mod_host(m, p))
+
+
+def test_pruned_mod_walk_matches_exact_dfs(rng):
+    tested = 0
+    for n in (10, 12):
+        for _ in range(4):
+            m = _rand_int_matrix(rng, n, density=0.3, hi=30)
+            exact = _perman_bigint_dfs(m)
+            a2 = modp._doubled_object(m)
+            for r in (4, 6):
+                ids = modp._live_exact(a2, r)
+                if ids is None:
+                    continue
+                for p in (4093, 1009):
+                    assert (modp.perman_core_mod(m, p, ids=ids, r=r,
+                                                 interpret=True)
+                            == exact % p)
+                    tested += 1
+    assert tested >= 4
+
+
+def test_live_exact_keeps_every_nonzero_term():
+    # entries past the 53-bit mantissa: a rounded f64 zero test would
+    # wrongly kill the chunk where 2^60 + 1 + (-2^60) - 1 != 0 under
+    # rounding; the exact bigint test must keep it.
+    big = 1 << 60
+    m = [[big + 1, 1, 1, 1],
+         [1, 2, 0, 0],
+         [3, 0, 1, 2],
+         [2, 1, 1, 1]]
+    exact = _perman_bigint_dfs(m)
+    a2 = modp._doubled_object(m)
+    ids = modp._live_exact(a2, 1)
+    p = 4093
+    got = modp.perman_core_mod(m, p, ids=ids, r=1, interpret=True) \
+        if ids is not None else modp.perman_core_mod(m, p, interpret=True)
+    assert got == exact % p
+
+
+def test_crt_driver_certifies_and_matches_native(rng):
+    hits = 0
+    for n in (8, 11):
+        for _ in range(3):
+            a = rng.random((n, n)) * (rng.random((n, n)) < 0.7)
+            f_nat, m_nat = perman_exact_fraction(a)
+            if m_nat.get("engine") not in ("native_mod", "host_mod"):
+                continue
+            f_tpu, m_tpu = perman_exact_fraction(a, engine="tpu")
+            assert f_tpu == f_nat
+            assert m_tpu["engine"] == "tpu_mod"
+            assert m_tpu["nprimes"] >= 1
+            hits += 1
+    assert hits >= 2
+
+
+def test_crt_driver_integer_core_prunes(rng):
+    # small-integer sparse core: the bigint liveness plan engages and
+    # the CRT total still matches the exact DFS value.
+    n = 12
+    m = _rand_int_matrix(rng, n, density=0.3, hi=9)
+    exact = _perman_bigint_dfs(m)
+    if exact == 0:
+        pytest.skip("structurally zero draw")
+    per, meta = modp.crt_perman_core(m, interpret=True)
+    assert per == exact
+    assert meta["nprimes"] >= 1
+
+
+def test_u16_walk_bitwise_matches_scalar(rng):
+    """The unrolled static-table walk (the hardware path at r>=5) must be
+    bitwise-identical to the scalar per-step-ctz walk.  Both bodies are
+    pure JAX functions, so this runs them OUTSIDE pallas on XLA:CPU —
+    interpret mode only ever exercises the scalar body (the unrolled
+    body's interpret compile explodes; see CLAUDE.md)."""
+    import jax.numpy as jnp
+
+    from superman_tpu.ops import gray
+    from superman_tpu.parallel.sharding import pad_ids
+
+    n, p, L = 11, 4093, 128
+    m = _rand_int_matrix(rng, n, hi=60)
+    am = modp.reduce_core_mod(m, p)
+    n_pad = gray.pad_n(n)
+    x0v, cols, colst = modp.pack_mod(am, p, n_pad)
+    invp = np.float32(1.0) / np.float32(p)
+    ct = jnp.asarray(colst)
+    for r in (6, 8):
+        ids = np.arange(1 << (n - 1 - r), dtype=np.int64)
+        blocks = pad_ids(ids.astype(np.int32), L, 1, block_multiple=1)
+        x, aux = modp.chunk_init_mod(
+            jnp.asarray(blocks, jnp.int32), jnp.asarray(x0v),
+            jnp.asarray(cols), jnp.float32(p), invp,
+            n=n, n_pad=n_pad, r=jnp.int32(r))
+        for u in (4, 5):
+            for b in range(x.shape[0]):
+                s = np.asarray(modp._walk_mod_scalar(
+                    jnp.int32(r), x[b], aux[b], ct))
+                uu = np.asarray(modp._walk_mod_u16(
+                    jnp.int32(r), x[b], aux[b], ct, u=u))
+                assert np.array_equal(s, uu)
+
+
+def test_prime_pool_is_prime_and_descending():
+    ps = modp.primes_mod(40)
+    assert len(set(ps)) == 40
+    assert all(ps[i] > ps[i + 1] for i in range(39))
+    assert ps[0] <= modp.PRIME_CEIL
+    for p in ps:
+        assert p % 2 == 1
+        assert all(p % q for q in range(2, int(p ** 0.5) + 1))

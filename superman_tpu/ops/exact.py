@@ -250,6 +250,7 @@ def exact_cost_estimate(a: np.ndarray) -> Tuple[float, int, int]:
 
 def perman_exact_fraction(a: np.ndarray, threads: int = 0,
                           log=None, engine: Optional[str] = None,
+                          checkpoint_path: Optional[str] = None,
                           ) -> Tuple[Fraction, dict]:
     """EXACT permanent of the f64 matrix `a`, as a Fraction.
 
@@ -295,7 +296,8 @@ def perman_exact_fraction(a: np.ndarray, threads: int = 0,
                     f"for core n={nc}")
         if engine == "tpu":
             from .modp import crt_perman_core
-            per_core, tmeta = crt_perman_core(core, log=log)
+            per_core, tmeta = crt_perman_core(
+                core, log=log, checkpoint_path=checkpoint_path)
             meta.update(engine="tpu_mod", nprimes=tmeta["nprimes"],
                         bound_bits=tmeta["bound_bits"],
                         live_frac=tmeta["live_frac"])

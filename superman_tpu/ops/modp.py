@@ -418,6 +418,8 @@ def perman_core_mod(core, p: int, *, ids=None, r=None, lanes: int = 512,
         lanes = plan.lanes
     if ids is None:
         ids = np.arange(1 << max(0, n - 1 - r), dtype=np.int64)
+    elif len(ids) == 0:
+        return 0          # every chunk carries a zero row: per == 0
     from ..parallel.sharding import pad_ids
     ids_blocks = pad_ids(np.asarray(ids, dtype=np.int64).astype(np.int32),
                          min(lanes, max(1, len(ids))), 1,
@@ -534,7 +536,7 @@ def tpu_cost_estimate(core, bound_bits: float) -> float:
 
 
 def crt_perman_core(core, *, lanes: int = 512, interpret=None,
-                    log=None):
+                    log=None, checkpoint_path=None):
     """EXACT ``per(core)`` of a bigint core, CRT over TPU Z_p walks.
 
     The integer twin of ops/exact.perman_exact_fraction's native_mod
@@ -544,7 +546,15 @@ def crt_perman_core(core, *, lanes: int = 512, interpret=None,
     shared by every prime, and a held-out verification prime certifies
     the reconstruction end to end — a kernel or CRT bug cannot return
     silently.  Returns ``(per, meta)``.
+
+    checkpoint_path: optional JSONL of ``{"p": .., "res": ..}`` rows —
+    per-prime residues survive an axon worker crash mid-run (will57's
+    core walks for hours; the worker dies on bad days, CLAUDE.md), and
+    a restarted run recomputes only the missing primes.  The held-out
+    verifier certifies the final value either way.
     """
+    import json
+    import os
     from .exact import _is_prime_u64, _log2_bound
     t0 = time.perf_counter()
     n = len(core)
@@ -559,6 +569,11 @@ def crt_perman_core(core, *, lanes: int = 512, interpret=None,
     while not _is_prime_u64(c):
         c -= 2
     verifier = c
+    known = {}
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        for line in open(checkpoint_path):
+            row = json.loads(line)
+            known[int(row["p"])] = int(row["res"])
     plan = core_plan(core, lanes=lanes)
     if plan is not None:
         col_perm, ids, r, live_frac = plan
@@ -567,8 +582,14 @@ def crt_perman_core(core, *, lanes: int = 512, interpret=None,
         work, ids, r, live_frac = core, None, None, 1.0
     residues = []
     for i, p in enumerate(need_primes + [verifier]):
+        if p in known:
+            residues.append(known[p])
+            continue
         residues.append(perman_core_mod(work, p, ids=ids, r=r,
                                         lanes=lanes, interpret=interpret))
+        if checkpoint_path:
+            with open(checkpoint_path, "a") as f:
+                f.write(json.dumps({"p": p, "res": residues[-1]}) + "\n")
         if log:
             log(f"tpu_mod: prime {i + 1}/{len(need_primes) + 1} "
                 f"(p={p}) done at {time.perf_counter() - t0:.1f}s")

@@ -65,8 +65,9 @@ def main(argv=None):
                   flush=True)
             continue
         t0 = time.time()
-        frac, meta = exact.perman_exact_fraction(a, log=lambda s: print(
-            f"  {name}: {s}", flush=True))
+        frac, meta = exact.perman_exact_fraction(
+            a, log=lambda s: print(f"  {name}: {s}", flush=True),
+            checkpoint_path=args.out + f".ck.{name}.jsonl")
         val = exact._float_of_fraction(frac)
         sign, l2 = ((0.0, None) if frac == 0 else
                     (1.0 if frac > 0 else -1.0,
@@ -82,6 +83,9 @@ def main(argv=None):
                "engine": meta.get("engine")}
         out.write(json.dumps(row) + "\n")
         out.flush()
+        ck = args.out + f".ck.{name}.jsonl"
+        if os.path.exists(ck):
+            os.remove(ck)           # row certified; residues obsolete
         print(f"{name}: per = {val:.12e} (core n={meta['core_n']}, "
               f"{row['wall_s']} s)", flush=True)
     out.close()

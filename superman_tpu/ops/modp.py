@@ -60,8 +60,9 @@ PRIME_CEIL = 4093
 MOD_GITERS = 10.0e9
 
 #: per-launch gray-iteration cap: the axon stack kills device programs
-#: past ~40-60 s (see parallel/sharding.py) — stay well under
-_CAP_ITERS = int(12.0 * MOD_GITERS)
+#: past ~40-60 s (see parallel/sharding.py) — stay well under even if
+#: the realized rate lands below the MOD_GITERS placeholder
+_CAP_ITERS = int(6.0 * MOD_GITERS)
 
 
 def primes_mod(count: int) -> list:

@@ -84,14 +84,15 @@ def test_crt_driver_certifies_and_matches_native(rng):
     assert hits >= 2
 
 
-def test_crt_driver_integer_core_prunes(rng):
+def test_crt_driver_integer_core_prunes():
     # small-integer sparse core: the bigint liveness plan engages and
-    # the CRT total still matches the exact DFS value.
-    n = 12
-    m = _rand_int_matrix(rng, n, density=0.3, hi=9)
+    # the CRT total still matches the exact DFS value.  Fixed seed: a
+    # draw with a NONZERO permanent (the shared session rng happened to
+    # deal a structurally-zero matrix here and silently skipped).
+    local = np.random.default_rng(40)
+    m = _rand_int_matrix(local, 12, density=0.3, hi=9)
     exact = _perman_bigint_dfs(m)
-    if exact == 0:
-        pytest.skip("structurally zero draw")
+    assert exact != 0
     per, meta = modp.crt_perman_core(m, interpret=True)
     assert per == exact
     assert meta["nprimes"] >= 1
@@ -129,6 +130,38 @@ def test_u16_walk_bitwise_matches_scalar(rng):
                 uu = np.asarray(modp._walk_mod_u16(
                     jnp.int32(r), x[b], aux[b], ct, u=u))
                 assert np.array_equal(s, uu)
+
+
+def test_crt_checkpoint_resume(rng, tmp_path):
+    """A restarted CRT run recomputes only the missing primes (worker
+    crashes mid-run are routine on bad axon days; CLAUDE.md)."""
+    n = 9
+    m = _rand_int_matrix(rng, n, density=0.8, hi=25)
+    exact = _perman_bigint_dfs(m)
+    ck = str(tmp_path / "res.jsonl")
+    logs = []
+    per1, meta1 = modp.crt_perman_core(m, interpret=True,
+                                       checkpoint_path=ck,
+                                       log=logs.append)
+    assert per1 == exact
+    n_primes_walked = len(logs)
+    assert n_primes_walked == meta1["nprimes"] + 1
+    # resume: every residue is already on disk -> zero walks, same value
+    logs2 = []
+    per2, meta2 = modp.crt_perman_core(m, interpret=True,
+                                       checkpoint_path=ck,
+                                       log=logs2.append)
+    assert per2 == exact
+    assert logs2 == []            # nothing recomputed
+    # partial resume: drop the last line, exactly one prime re-walked
+    lines = open(ck).read().splitlines()
+    with open(ck, "w") as f:
+        f.write("\n".join(lines[:-1]) + "\n")
+    logs3 = []
+    per3, _ = modp.crt_perman_core(m, interpret=True, checkpoint_path=ck,
+                                   log=logs3.append)
+    assert per3 == exact
+    assert len(logs3) == 1
 
 
 def test_prime_pool_is_prime_and_descending():

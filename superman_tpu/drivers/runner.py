@@ -83,6 +83,12 @@ def _compression_sanity(dense: DenseMatrix, flags: Flags,
         return res                       # estimates carry their own stderr
     a = np.asarray(dense.mat, dtype=np.float64)
     p = res.permanent
+    # requested low-precision tiers (f32 ~amp*2^-11 realized, f32k
+    # ~amp*2^-24) would ALWAYS miss a df64-class agreement band: skip the
+    # exact certification (it would silently replace the user's requested
+    # tier with exact_crt and pay its cost on every call) and keep only
+    # the catastrophic-loss magnitude alarm below
+    double_class = flags.resolved_calc() not in ("f32", "f32k")
 
     # Exact certification: when the modular-CRT engine (ops/exact.py) is
     # cheap — real sparse matrices fold to tiny d1/d2 cores — it is
@@ -92,12 +98,12 @@ def _compression_sanity(dense: DenseMatrix, flags: Flags,
     # amplitude scale, which is where per(|A|) sits too (measured:
     # d_ss.mtx, compression off by 4.3e11 yet only 38 bits above |per| —
     # under the 60-bit alarm; SUITE_REPORT_REAL.jsonl).
-    if a.shape[0] <= 100:
+    if a.shape[0] <= 100 and double_class:
         from ..bindings.native import native_available
         from ..ops.exact import (_float_of_fraction, exact_cost_estimate,
                                  perman_exact_fraction)
         try:
-            secs, _, core_n = exact_cost_estimate(a)
+            secs, _, core_n = exact_cost_estimate(a, budget_s=5.0)
         except Exception:
             secs, core_n = float("inf"), 0
         if secs < 5.0 and (core_n <= 16 or native_available()):
@@ -274,16 +280,24 @@ def _run_auto(dm: DenseMatrix, flags: Flags, mesh) -> Result:
     diff_rel = abs(res.permanent - fast.permanent) / scale
     # f32k error ~ diff_rel; df64 error ~ diff_rel * 2^-24
     est_df64_err = diff_rel * 2.0 ** -24
-    # correlated-rounding guard: amplification measured directly
+    # correlated-rounding guard: amplification measured directly.
+    # amp_l2 can exceed 1000 bits (huge-entry cancellation-bound inputs
+    # — the probe's whole reason to exist), where a bare 2.0**e would
+    # raise OverflowError instead of escalating: saturate to inf.
+    import math as _math
+
+    def _exp2_sat(e: float) -> float:
+        return _math.inf if e > 1023.0 else 2.0 ** e
+
     amp_l2 = (_amp_probe_log2(np.asarray(dm.mat, dtype=np.float64))
               - float(np.log2(scale)))
-    probe_err = 2.0 ** (amp_l2 - 48.0) if np.isfinite(amp_l2) else 0.0
+    probe_err = _exp2_sat(amp_l2 - 48.0) if np.isfinite(amp_l2) else 0.0
     est_df64_err = max(est_df64_err, probe_err)
     if est_df64_err > TARGET:
         # tf96's predicted error from the same two amplification
         # measurements (eff. mantissa ~70 bits vs df64's ~48)
         est_tf96_err = max(diff_rel * 2.0 ** -46,
-                           2.0 ** (amp_l2 - 70.0) if np.isfinite(amp_l2)
+                           _exp2_sat(amp_l2 - 70.0) if np.isfinite(amp_l2)
                            else 0.0)
         if est_tf96_err > TARGET:
             # even tf96 is predicted to miss: last rung is the exact CRT
@@ -296,7 +310,8 @@ def _run_auto(dm: DenseMatrix, flags: Flags, mesh) -> Result:
             from ..bindings.native import native_available
             try:
                 secs, _, core_n = exact_cost_estimate(
-                    np.asarray(dm.mat, dtype=np.float64))
+                    np.asarray(dm.mat, dtype=np.float64),
+                    budget_s=float(flags.auto_exact_budget_s))
             except Exception:
                 secs, core_n = float("inf"), 0
             from ..ops.exact import _tpu_backend

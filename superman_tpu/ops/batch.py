@@ -214,9 +214,14 @@ def permanent_batch(mats: Sequence[np.ndarray], **overrides) -> List[Result]:
         if m.ndim != 2 or m.shape[0] != m.shape[1]:
             raise ValueError(f"matrix {i} is not square")
         n = m.shape[0]
-        if 2 < n <= BATCH_MAX_N and batchable:
+        if 2 < n <= BATCH_MAX_N and batchable and (n >= 13
+                                                   or calc != "tf96"):
             groups.setdefault(n, []).append(i)
         else:
+            # n < 13 tf96 requests run one-by-one: the small-order XLA
+            # batch walk is plain f64 (~amp*2^-53), which honors f32/
+            # f32k/df64 but would silently DOWNGRADE tf96 (~amp*2^-70)
+            # on cancellation-heavy matrices
             results[i] = permanent(m, **overrides)
     for n, idxs in groups.items():
         stack = np.stack([mats[i].astype(np.float64) for i in idxs])
@@ -227,8 +232,9 @@ def permanent_batch(mats: Sequence[np.ndarray], **overrides) -> List[Result]:
             vals = permanent_batch_pallas(stack, calc=calc)
             name = f"ryser_pallas_batch_{calc}"
         else:
-            # small orders: full-f64 XLA walk (>= the accuracy of every
-            # batchable tier, so honoring calc via the exact walk is safe)
+            # small orders: full-f64 XLA walk (>= the accuracy of the
+            # f32/f32k/df64 tiers; tf96 requests never land here — they
+            # are routed one-by-one above)
             vals = permanent_batch_same_n(stack)
             name = "ryser_xla_batch"
         dt = time.perf_counter() - t0

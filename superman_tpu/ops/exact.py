@@ -227,12 +227,20 @@ def _tpu_backend() -> bool:
         return False
 
 
-def exact_cost_estimate(a: np.ndarray) -> Tuple[float, int, int]:
+def exact_cost_estimate(a: np.ndarray,
+                        budget_s: float = None) -> Tuple[float, int, int]:
     """(seconds, nprimes, core_n) for perman_exact_fraction on this host.
 
     ~6 ns per (column-update + Montgomery product) element step for the
     native CPU walk; past _TPU_CROSSOVER_S with a TPU attached, the
     estimate switches to the modular Pallas engine's (ops/modp.py).
+
+    budget_s: the caller's acceptance threshold, if it has one.  The TPU
+    estimate itself is EXPENSIVE (it computes the real pruned plan —
+    host bigint liveness over up to 2^26-entry gray masks) and can never
+    come in under _TPU_FIXED_S, so when the budget is below that the TPU
+    branch is skipped outright: the answer ("too expensive") is already
+    known, and the plan would be wasted.
     """
     m, k = dyadic_int_matrix(a)
     core, mult = _fold_lines([row[:] for row in m])
@@ -242,7 +250,8 @@ def exact_cost_estimate(a: np.ndarray) -> Tuple[float, int, int]:
     bits = _log2_bound(core) + 3
     npr = max(1, math.ceil(bits / 61.0)) + 1
     secs = npr * (1 << max(0, n - 1)) * n * 6e-9
-    if secs > _TPU_CROSSOVER_S and _tpu_backend():
+    if (secs > _TPU_CROSSOVER_S and _tpu_backend()
+            and (budget_s is None or budget_s > _TPU_FIXED_S)):
         from .modp import tpu_cost_estimate
         secs = min(secs, tpu_cost_estimate(core, bits) + _TPU_FIXED_S)
     return secs, npr, n

@@ -129,7 +129,11 @@ def chunk_init(chunk_ids, x0_pair, cols_pair, n: int, n_pad: int, r,
         else:
             xhi = xhi + chi
     sign_mid = (1 - 2 * (ids & 1)).astype(jnp.float32)[:, None, :]
-    # dead lanes: x = 0 -> every term's product is 0; contributes nothing
+    # dead lanes: x = 0 zeroes the m=0 term, but the walk re-adds column
+    # values to every row, so the products stay 0 ONLY while an all-zero
+    # pad row exists (n_pad > n).  When n_pad == n the caller must mask:
+    # factor weights are 0 for sentinel ids, and compute_partials zeroes
+    # unweighted per-lane partials (parallel/sharding.py, has_dead).
     alive = jnp.where(dead, 0.0, 1.0).astype(jnp.float32)[:, None, :]
     return xhi * alive, xlo * alive, sign_mid
 

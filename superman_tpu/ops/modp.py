@@ -64,6 +64,10 @@ MOD_GITERS = 10.0e9
 #: the realized rate lands below the MOD_GITERS placeholder
 _CAP_ITERS = int(6.0 * MOD_GITERS)
 
+#: deepest plannable r: one block (512 lanes x 2^r steps) is the walk's
+#: indivisible launch unit, so it must fit under _CAP_ITERS on its own
+_R_CAP = int(math.floor(math.log2(_CAP_ITERS / 512)))
+
 
 def primes_mod(count: int) -> list:
     """`count` distinct odd primes descending from PRIME_CEIL."""
@@ -315,13 +319,19 @@ def _mod_kernel_u16_multi(r_ref, x_ref, aux_ref, colst_ref, out_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=("use_u16", "u", "interpret", "allow_multi"))
-def _mod_partials_jit(r_arr, x, aux, colst, *, use_u16: bool, u: int,
-                      interpret: bool, allow_multi: bool = True):
+def _mod_partials_jit(r_arr, x, aux, colst, alive, *, use_u16: bool,
+                      u: int, interpret: bool, allow_multi: bool = True):
     """(B, n_pad, L) lane inits -> (G or B, 8, L) partial sums.
 
     Per-lane sums are < p; the KB=32 group reduce is a PLAIN f32 sum
     (32 * p < 2^17, exact) — the caller host-sums in f64 (exact to 2^53)
     and reduces mod p once.
+
+    alive: (B, L) f32 1/0 mask of live lanes.  Sentinel lanes are NOT
+    self-zeroing when n_pad == n (no all-zero pad row: the walk re-adds
+    column residues to every row, so a dead lane's products come back
+    nonzero — measured wrong totals on any padded id list at n % 8 == 0);
+    the mask is applied per lane BEFORE the KB group reduce.
     """
     B, n_pad, L = x.shape
     KB = 32 if (allow_multi and use_u16 and B % 32 == 0 and B >= 32) else 1
@@ -347,18 +357,20 @@ def _mod_partials_jit(r_arr, x, aux, colst, *, use_u16: bool, u: int,
         G = B // KB
 
         def one_group(args):
-            bx, baux = args
+            bx, baux, bal = args
             out = call(r_arr, bx, baux, colst)
+            out = out * bal[:, None, :]          # mask, then exact sum
             return jnp.sum(out, axis=0)          # exact: KB * p < 2^24
 
         return lax.map(one_group, (x.reshape(G, KB, n_pad, L),
-                                   aux.reshape(G, KB, 3, L)))
+                                   aux.reshape(G, KB, 3, L),
+                                   alive.reshape(G, KB, L)))
 
     def one_block(args):
-        bx, baux = args
-        return call(r_arr, bx, baux, colst)
+        bx, baux, bal = args
+        return call(r_arr, bx, baux, colst) * bal[None, :]
 
-    return lax.map(one_block, (x, aux))
+    return lax.map(one_block, (x, aux, alive))
 
 
 def mod_partials(ids_blocks: np.ndarray, x0v, cols, colst, p: int, *,
@@ -372,6 +384,13 @@ def mod_partials(ids_blocks: np.ndarray, x0v, cols, colst, p: int, *,
     """
     B, L = ids_blocks.shape
     per_block = L << r
+    if not interpret and per_block > _CAP_ITERS:
+        # a single block cannot be split (the walk is sequential within a
+        # chunk); the planner caps r (core_plan/_R_CAP) so this is a bug
+        raise ValueError(
+            f"mod_partials: one block of {per_block:.3g} iters (L={L}, "
+            f"r={r}) exceeds the device watchdog cap {_CAP_ITERS:.3g}; "
+            f"plan with r <= {_R_CAP}")
     if not interpret and B > 1 and B * per_block > _CAP_ITERS:
         g = max(1, _CAP_ITERS // per_block)
         g = 1 << (int(g).bit_length() - 1)
@@ -387,9 +406,11 @@ def mod_partials(ids_blocks: np.ndarray, x0v, cols, colst, p: int, *,
                             jnp.asarray(x0v), jnp.asarray(cols),
                             jnp.float32(p), invp, n=n, n_pad=n_pad,
                             r=jnp.int32(r))
+    alive = jnp.asarray((ids_blocks >= 0).astype(np.float32))
     out = _mod_partials_jit(jnp.asarray([r], jnp.int32), x, aux,
-                            jnp.asarray(colst), use_u16=use_u16, u=u,
-                            interpret=interpret, allow_multi=allow_multi)
+                            jnp.asarray(colst), alive, use_u16=use_u16,
+                            u=u, interpret=interpret,
+                            allow_multi=allow_multi)
     return float(np.asarray(out[:, 0, :], dtype=np.float64).sum())
 
 
@@ -415,7 +436,7 @@ def perman_core_mod(core, p: int, *, ids=None, r=None, lanes: int = 512,
     x0v, cols, colst = pack_mod(am, p, n_pad)
     if r is None:
         plan = gray.make_plan(n, lanes=lanes, df=True)
-        r = plan.r
+        r = min(plan.r, _R_CAP)      # one block must fit the watchdog cap
         lanes = plan.lanes
     if ids is None:
         ids = np.arange(1 << max(0, n - 1 - r), dtype=np.int64)
@@ -505,26 +526,57 @@ def _score_float(core) -> np.ndarray:
                       dtype=np.float64)
 
 
+def core_fingerprint(core) -> str:
+    """Content hash of a bigint core: keys the plan cache and stamps CRT
+    checkpoint rows (a stale checkpoint from ANOTHER matrix would pass
+    the held-out verifier — its residues are self-consistent — so the
+    rows must be bound to the exact core they were walked for)."""
+    import hashlib
+    h = hashlib.sha256()
+    h.update(str(len(core)).encode())
+    for row in core:
+        for v in row:
+            h.update(b"," + str(int(v)).encode())
+        h.update(b";")
+    return h.hexdigest()[:16]
+
+
+#: fingerprint -> core_plan result; planning a big core costs seconds to
+#: minutes of host bigint work (_live_exact over up to 2^26-entry gray
+#: masks), and cost ESTIMATES need the same plan the real run uses —
+#: the cache makes estimate + run plan exactly once
+_PLAN_CACHE: dict = {}
+
+
 def core_plan(core, *, lanes: int = 512):
     """Pruned live-chunk plan for a bigint core.
 
     Plan CHOICE (column order, r) comes from the engine's measured-cost
     planner on a float image; the live-id mask is then recomputed in
-    exact bigint arithmetic (_live_exact).  Returns
-    (col_perm, ids, r, live_frac) or None (use the dense index space).
+    exact bigint arithmetic (_live_exact).  r is capped at _R_CAP so one
+    block (the indivisible launch unit) stays under the device watchdog.
+    Returns (col_perm, ids, r, live_frac) or None (use the dense index
+    space).  Results are cached by core fingerprint.
     """
     from .pruning import plan_sparse
+    key = (core_fingerprint(core), lanes)
+    if key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
     sp = plan_sparse(_score_float(core), chunk_log2=None, df=True,
-                     allow_factor=False, giters=MOD_GITERS / 1e9)
-    if sp is None:
-        return None
-    a2 = _doubled_object(core)[:, sp.col_perm]
-    ids = _live_exact(a2, sp.r)
-    if ids is None:
-        return None
-    n = len(core)
-    live_frac = len(ids) / (1 << (n - 1 - sp.r))
-    return sp.col_perm, ids, sp.r, live_frac
+                     allow_factor=False, giters=MOD_GITERS / 1e9,
+                     max_r=_R_CAP)
+    out = None
+    if sp is not None:
+        a2 = _doubled_object(core)[:, sp.col_perm]
+        ids = _live_exact(a2, sp.r)
+        if ids is not None:
+            n = len(core)
+            live_frac = len(ids) / (1 << (n - 1 - sp.r))
+            out = (sp.col_perm, ids, sp.r, live_frac)
+    if len(_PLAN_CACHE) >= 16:
+        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+    _PLAN_CACHE[key] = out
+    return out
 
 
 def tpu_cost_estimate(core, bound_bits: float) -> float:
@@ -548,17 +600,22 @@ def crt_perman_core(core, *, lanes: int = 512, interpret=None,
     the reconstruction end to end — a kernel or CRT bug cannot return
     silently.  Returns ``(per, meta)``.
 
-    checkpoint_path: optional JSONL of ``{"p": .., "res": ..}`` rows —
-    per-prime residues survive an axon worker crash mid-run (will57's
-    core walks for hours; the worker dies on bad days, CLAUDE.md), and
-    a restarted run recomputes only the missing primes.  The held-out
-    verifier certifies the final value either way.
+    checkpoint_path: optional JSONL of ``{"p": .., "res": .., "fp": ..}``
+    rows — per-prime residues survive an axon worker crash mid-run
+    (will57's core walks for hours; the worker dies on bad days,
+    CLAUDE.md), and a restarted run recomputes only the missing primes.
+    Every row is stamped with the core's fingerprint and rows for a
+    DIFFERENT core are ignored on load: a stale checkpoint would
+    otherwise pass the held-out verifier (its residues are mutually
+    consistent with the OLD core) and return the wrong matrix's
+    permanent as certified-exact.
     """
     import json
     import os
     from .exact import _is_prime_u64, _log2_bound
     t0 = time.perf_counter()
     n = len(core)
+    fp = core_fingerprint(core)
     bits = _log2_bound(core) + 3
     need_primes, cov, c = [], 0.0, PRIME_CEIL
     while cov < bits or not need_primes:
@@ -572,9 +629,16 @@ def crt_perman_core(core, *, lanes: int = 512, interpret=None,
     verifier = c
     known = {}
     if checkpoint_path and os.path.exists(checkpoint_path):
+        stale = 0
         for line in open(checkpoint_path):
             row = json.loads(line)
-            known[int(row["p"])] = int(row["res"])
+            if row.get("fp") == fp:
+                known[int(row["p"])] = int(row["res"])
+            else:
+                stale += 1
+        if stale and log:
+            log(f"tpu_mod: ignoring {stale} checkpoint rows from a "
+                f"different core (fingerprint mismatch)")
     plan = core_plan(core, lanes=lanes)
     if plan is not None:
         col_perm, ids, r, live_frac = plan
@@ -590,7 +654,8 @@ def crt_perman_core(core, *, lanes: int = 512, interpret=None,
                                         lanes=lanes, interpret=interpret))
         if checkpoint_path:
             with open(checkpoint_path, "a") as f:
-                f.write(json.dumps({"p": p, "res": residues[-1]}) + "\n")
+                f.write(json.dumps({"p": p, "res": residues[-1],
+                                    "fp": fp}) + "\n")
         if log:
             log(f"tpu_mod: prime {i + 1}/{len(need_primes) + 1} "
                 f"(p={p}) done at {time.perf_counter() - t0:.1f}s")

@@ -163,7 +163,7 @@ class SparsePlan:
 
 def plan_sparse(a: np.ndarray, *, chunk_log2=None,
                 df: bool = False, allow_factor: bool = True,
-                giters: float = None):
+                giters: float = None, max_r: int = None):
     """Choose (column order, chunk length, live set, row split) for the
     sparse exact walk, or None to keep the dense plan.
 
@@ -174,6 +174,11 @@ def plan_sparse(a: np.ndarray, *, chunk_log2=None,
     chunks * c_chunk).  The exact dead mask is computed once, for the
     winner only.  Reference anchor: this plays the role of SkipOrder +
     SkipPer (util.h:621, algo.h:856) for the chunk-pruned TPU engine.
+
+    max_r: upper bound on the chunk length (the Z_p engine's launch unit
+    is one block of lanes * 2^r iterations, which must fit the device
+    watchdog cap; ops/modp._R_CAP).  Candidates past it are dropped —
+    if none remain the planner declines (returns None).
     """
     a = np.asarray(a, dtype=np.float64)
     n = a.shape[0]
@@ -200,6 +205,10 @@ def plan_sparse(a: np.ndarray, *, chunk_log2=None,
                           for rr in (n - 26, n - 24, n - 22, n - 20,
                                      n - 18, n - 16)
                           if n - 1 - rr <= 26})
+    if max_r is not None:
+        r_cands = [r for r in r_cands if r <= max_r]
+        if not r_cands:
+            return None
     best = None              # (cost, r, perm, est_live)
     for r in r_cands:
         for perm in prune_order(a, r):

@@ -132,6 +132,13 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
             for i in range(0, B, g)]
         return np.concatenate(parts, axis=0)
     init_df = df and not exact_storage
+    # Sentinel (-1) lanes are NOT self-zeroing when n_pad == n: chunk_init
+    # zeroes their x, but the walk re-adds column values to every row, and
+    # without an all-zero pad row the products come back nonzero (measured
+    # 8% error at n=16).  Factor weights (device or host) zero dead lanes;
+    # on every unweighted path the per-lane partials are masked below —
+    # which requires per-lane output, so the device reduce is gated off.
+    has_dead = bool((ids_blocks < 0).any())
     use_u16 = bool(r >= 5 and not interpret)
     full_df = df and not exact_storage
     # full-df and tf bodies are the largest (pair/triple-product trees);
@@ -147,7 +154,8 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
     # their exact bitwise mesh-vs-single contract.  tf96 partials weight
     # by the df64 factor as a zero-extended triple (~1e-13, within the
     # tier's suite contract).
-    reduce = bool(reduce_ok and single and B % 32 == 0 and B >= 32)
+    reduce = bool(reduce_ok and single and B % 32 == 0 and B >= 32
+                  and (factors is not None or not has_dead))
     host_weights = None
 
     args = (jnp.asarray(ids_blocks), jnp.asarray(x0_pair),
@@ -174,7 +182,8 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
     else:
         num_shards = int(np.prod(mesh.devices.shape))
         b_shard = B // num_shards
-        reduce = bool(reduce_ok and b_shard % 32 == 0 and b_shard >= 32)
+        reduce = bool(reduce_ok and b_shard % 32 == 0 and b_shard >= 32
+                      and (factors is not None or not has_dead))
         # device weighting rides the reduction path; without it
         # (small shards) the factors fall back to host_fn
         weighted = factors is not None and reduce
@@ -207,4 +216,8 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
         p = out[:, 0, :] + out[:, 1, :]     # hi + lo, exact in f64
     if host_weights is not None:
         p = p * np.asarray(host_weights).astype(p.dtype)
+    elif has_dead and not reduce:
+        # unweighted per-lane partials: zero the sentinel lanes (see the
+        # has_dead comment above; weighted paths already carry 0 weights)
+        p = p * (ids_blocks >= 0).astype(p.dtype)
     return p

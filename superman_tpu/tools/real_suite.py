@@ -256,7 +256,7 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
                 exact_cheap = kn["wall_s"] < 25.0
             else:
                 try:
-                    esecs, _, ecore = exact_cost_estimate(a)
+                    esecs, _, ecore = exact_cost_estimate(a, budget_s=25.0)
                 except Exception:
                     esecs, ecore = float("inf"), 0
                 if esecs < 25.0 and (ecore <= 16 or native_available()):

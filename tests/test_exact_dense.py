@@ -110,3 +110,30 @@ def test_calc_auto_escalation(rng):
     assert r3.meta["auto"]["escalated"] == "tf96"
     assert r3.meta["auto"].get("low_confidence") is True
     assert r3.permanent == pytest.approx(perman64(a), rel=1e-9)
+
+
+def test_auto_probe_saturates_past_f64_exponent(rng, monkeypatch):
+    """Amplitudes past ~2^1120 (huge-entry cancellation-bound inputs —
+    the probe's whole reason to exist) must saturate to inf and
+    escalate, not raise OverflowError from a bare 2.0**e."""
+    from superman_tpu.drivers import runner
+    monkeypatch.setattr(runner, "_amp_probe_log2",
+                        lambda a, samples=256, seed=0xA3: 3000.0)
+    a = random_int_matrix(rng, 10, 0.9, vmax=5)
+    r = sp.permanent(a, calc="auto")          # must not raise
+    assert r.meta["auto"]["escalated"] in ("tf96", "exact")
+    assert np.isclose(r.permanent, float(perman_brute(a)), rtol=1e-6)
+
+
+def test_sanity_net_respects_low_precision_tiers(rng):
+    """An explicitly requested f32/f32k run under compression keeps its
+    tier: the sanity net's exact certification (rel > 1e-6 bail) would
+    otherwise replace EVERY low-precision result with exact_crt —
+    discarding the tier the user asked for and paying the exact engine
+    on each call."""
+    a = random_int_matrix(rng, 12, 0.8, vmax=9).astype(np.float64)
+    r = sp.permanent(a, calc="f32k", compression=True)
+    assert "exact_crt" not in r.algo_name
+    assert r.meta.get("compression_bailout") is None
+    # tier contract still holds vs the exact value
+    assert np.isclose(r.permanent, float(perman_brute(a)), rtol=1e-2)

@@ -172,3 +172,63 @@ def test_prime_pool_is_prime_and_descending():
     for p in ps:
         assert p % 2 == 1
         assert all(p % q for q in range(2, int(p ** 0.5) + 1))
+
+
+def test_sentinel_lanes_masked_when_npad_equals_n(rng):
+    """Z_p twin of the float engine's sentinel regression: at n % 8 == 0
+    there is no all-zero pad row, and unmasked dead lanes walk to nonzero
+    products that are the SAME garbage integer mod every prime — so the
+    CRT held-out verifier cannot catch it and the 'exact' engine would
+    certify a wrong permanent.  mod_partials must mask per lane before
+    the group reduce."""
+    n, p = 16, 4093
+    m = _rand_int_matrix(rng, n)
+    ref = _perman_mod_host(m, p)
+    ids = np.arange(1 << 11, dtype=np.int64)
+    # lanes=500 forces 5 blocks of 500 with 452 sentinel lanes
+    assert modp.perman_core_mod(m, p, ids=ids, r=4, lanes=500,
+                                interpret=True) == ref
+    # pruned plans emit arbitrary-length id lists: same invariant
+    m2 = _rand_int_matrix(rng, n, density=0.35, hi=20)
+    from superman_tpu.ops.exact import _perman_bigint_dfs
+    exact = _perman_bigint_dfs(m2)
+    a2 = modp._doubled_object(m2)
+    ids2 = modp._live_exact(a2, 4)
+    if ids2 is not None and len(ids2):
+        got = modp.perman_core_mod(m2, p, ids=ids2, r=4, lanes=37,
+                                   interpret=True)
+        assert got == exact % p
+
+
+def test_checkpoint_rejects_other_cores_rows(rng, tmp_path):
+    """Residue rows are stamped with the core fingerprint: a checkpoint
+    left over from a DIFFERENT matrix passes the held-out verifier (its
+    rows are mutually consistent with the old core), so without the
+    stamp the engine would return the old matrix's permanent as
+    certified-exact for the new one."""
+    ck = str(tmp_path / "res.jsonl")
+    m1 = _rand_int_matrix(rng, 8, density=0.8, hi=25)
+    m2 = _rand_int_matrix(rng, 8, density=0.8, hi=25)
+    assert m1 != m2
+    per1, _ = modp.crt_perman_core(m1, interpret=True, checkpoint_path=ck)
+    assert per1 == _perman_bigint_dfs(m1)
+    # same path reused for a different core: every row must be ignored
+    logs = []
+    per2, _ = modp.crt_perman_core(m2, interpret=True, checkpoint_path=ck,
+                                   log=logs.append)
+    assert per2 == _perman_bigint_dfs(m2)
+    assert any("fingerprint mismatch" in s for s in logs)
+
+
+def test_deep_r_plans_capped_under_launch_watchdog():
+    """One block (lanes * 2^r iters) is the indivisible launch unit and
+    must fit the device watchdog cap: core_plan caps r at _R_CAP and
+    mod_partials rejects over-cap blocks outright instead of launching
+    an execution the axon stack would kill mid-CRT."""
+    assert (512 << modp._R_CAP) <= modp._CAP_ITERS
+    assert (512 << (modp._R_CAP + 1)) > modp._CAP_ITERS
+    import pytest as _pytest
+    dummy = np.zeros((1, 512), dtype=np.int32)
+    with _pytest.raises(ValueError, match="watchdog"):
+        modp.mod_partials(dummy, None, None, None, 4093, n=40, n_pad=40,
+                          r=modp._R_CAP + 1, interpret=False)

@@ -39,3 +39,36 @@ def test_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out))
+
+
+def test_sentinel_lanes_contribute_zero_when_npad_equals_n(rng):
+    """Sentinel (-1) padded lanes are NOT self-zeroing when n_pad == n
+    (no all-zero pad row: the walk re-adds columns to every row), so
+    compute_partials must mask unweighted per-lane partials and keep the
+    device reduce off.  Regression: a sentinel-padded id list at n=16
+    summed 8% wrong, silently — in exactly the shapes the hybrid
+    scheduler's fixed-size unit padding and no-factor sparse plans emit."""
+    from superman_tpu.ops import gray
+    from superman_tpu.ops.ryser import colst_pack
+    from superman_tpu.parallel.sharding import pad_ids, compute_partials
+
+    n = 16
+    assert gray.pad_n(n) == n                    # the failing geometry
+    a = rng.random((n, n))
+    plan = gray.RyserPlan(n=n, n_pad=n, r=4, lanes=64, num_chunks=1 << 11)
+    x0_pair, cols_pair = gray.pack_matrix(a, plan.n_pad)
+    cth, ctl = colst_pack(a, plan.n_pad)
+    ids = np.arange(1 << 11, dtype=np.int64).astype(np.int32)
+    clean = pad_ids(ids, 64, 1, block_multiple=1)       # exact, 32 blocks
+    dirty = pad_ids(ids, 63, 1, block_multiple=32)      # 1984 sentinels
+    assert (dirty < 0).any()
+    ref = None
+    for blocks, reduce_ok in ((clean, True), (dirty, False), (dirty, True)):
+        out = compute_partials(blocks, x0_pair, cols_pair, cth, ctl, plan,
+                               df=True, exact_storage=False,
+                               interpret=True, reduce_ok=reduce_ok)
+        tot = float(out.sum(dtype=np.float64))
+        if ref is None:
+            ref = tot
+        else:       # cross-grouping: 1e-12-class, never the 8%-off garbage
+            assert abs(tot - ref) <= 1e-9 * abs(ref)

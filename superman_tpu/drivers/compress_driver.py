@@ -27,7 +27,7 @@ def _as_dm(a: np.ndarray, type_name: str) -> DenseMatrix:
 def compress_and_calculate_recursive(dense: DenseMatrix, flags) -> Result:
     a = dense.mat
     min_deg = C.min_degree(a) if a.size else 0
-    if C.min_degree(a) < 5 and a.shape[0] > COMPRESSION_FLOOR:
+    if min_deg < 5 and a.shape[0] > COMPRESSION_FLOOR:
         if min_deg == 0:
             return Result(0.0, 0.0, algo_name="compressed_zero")
         if min_deg == 1:

@@ -58,10 +58,22 @@ def read_matrix_market(path: str, binary_graph: bool = False,
         for _ in range(nnz):
             parts = f.readline().split()
             i, j = int(parts[0]) - 1, int(parts[1]) - 1
+            if not (0 <= i < n and 0 <= j < n):
+                # a 0-based entry in a (1-based) MatrixMarket file would
+                # otherwise wrap to the LAST row via numpy's negative
+                # indexing — a silently wrong matrix
+                raise ValueError(
+                    f"{path}: entry ({int(parts[0])}, {int(parts[1])}) "
+                    f"outside the declared {n}x{n} (1-based) range")
             if pattern or binary_graph:
                 v = 1
             elif field == "integer":
                 v = int(parts[2])
+            elif dtype is np.longdouble:
+                # -v quad storage: parse at long-double precision (a
+                # float() round-trip would quantize >53-bit literals
+                # before the quad walk ever sees them)
+                v = np.longdouble(parts[2])
             else:
                 v = float(parts[2])
             mat[i, j] = v

@@ -27,6 +27,9 @@ def read_triplet(path: str, binary_graph: bool = False) -> DenseMatrix:
             if len(parts) < 3:
                 continue   # reference skips erroneous lines (util.h:351)
             i, j = int(parts[0]), int(parts[1])
+            if not (0 <= i < nov and 0 <= j < nov):
+                continue   # out-of-range = erroneous line (skip, as above);
+                #            numpy would silently WRAP a negative index
             # `generic=false` (-b) stores 1 regardless of value
             mat[i, j] = 1 if binary_graph else dtype(
                 float(parts[2]) if type_name != "int" else int(parts[2]))

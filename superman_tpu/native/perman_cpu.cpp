@@ -683,6 +683,9 @@ static int read_triplet_file(const char* filename, std::vector<double>& mat,
     int i, j;
     double v;
     if (!(iss >> i >> j >> v)) continue;
+    // out-of-range index = erroneous line (skip; an unchecked negative i
+    // would cast to a huge size_t and write wild heap memory)
+    if (i < 0 || i >= n || j < 0 || j >= n) continue;
     mat[(size_t)i * n + j] = binary ? 1.0 : v;
   }
   return 0;

@@ -154,8 +154,7 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
     # their exact bitwise mesh-vs-single contract.  tf96 partials weight
     # by the df64 factor as a zero-extended triple (~1e-13, within the
     # tier's suite contract).
-    reduce = bool(reduce_ok and single and B % 32 == 0 and B >= 32
-                  and (factors is not None or not has_dead))
+    reduce = bool(reduce_ok and single and B % 32 == 0 and B >= 32)
     host_weights = None
 
     args = (jnp.asarray(ids_blocks), jnp.asarray(x0_pair),
@@ -173,6 +172,14 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
                 w_pair = jnp.stack([whi, wlo], axis=1)    # (B, 2, L)
             else:
                 host_weights = factors[3](ids_blocks)
+        elif reduce and has_dead:
+            # no factor weights, but sentinel lanes must be zeroed BEFORE
+            # the on-device 32-block reduce (see the has_dead comment):
+            # a synthetic (alive, 0) weight pair masks them while keeping
+            # the reduced (G, 8, L) transfer — the per-lane fallback
+            # would re-expose the measured D2H bottleneck
+            alive = jnp.asarray((ids_blocks >= 0).astype(np.float32))
+            w_pair = jnp.stack([alive, jnp.zeros_like(alive)], axis=1)
         xhi, xlo, smid = gray.chunk_init(args[0], args[1], args[2],
                                          n=n, n_pad=n_pad, r=r, df=init_df)
         out = ryser_partials(xhi, xlo, smid, args[3], args[4], r=r, df=df,

@@ -6,10 +6,19 @@ and the result-correction step of scale_and_calculate
 B = diag(r) A diag(c); per(B) = per(A) * prod(r) * prod(c), so the driver
 divides the computed permanent by prod(r)*prod(c).
 
-The update rule matches the reference: each sweep recomputes c_j as
-threshold / (sum_i a_ij * c_j * r_i) and then r_i likewise, iterating until
-the mean scaled row/col sums are within 10 of the threshold (the
-reference's hard-coded tolerance, revised_perman/util.h:1482).
+DELIBERATE deviation from the reference: its stopping rule (mean scaled
+line sum within a hard-coded 10 of the threshold, revised_perman/
+util.h:1482) is vacuous for every threshold it is used with — the loop
+exits after one sweep with the columns unbalanced.  This implementation
+runs the true multiplicative Sinkhorn map (c_j *= t / colsum_j, then
+r_i *= t / rowsum_i) to a real convergence test (max line-sum deviation
+<= 1e-6 * t), which is what the preconditioning exists for: a
+half-balanced scaling leaves the column-magnitude spread that makes
+cancellation-bound walks (chesapeake-class) lose digits.  The exactness
+contract is unchanged: per(B) = per(A) * prod(r) * prod(c) holds for
+ANY factors, converged or not.  Signed matrices may oscillate (Sinkhorn
+theory only covers nonnegative ones); the loop keeps the last finite
+iterate and warns, same identity.
 """
 
 from __future__ import annotations
@@ -42,7 +51,7 @@ class ScaleCompanion:
 
 
 def scalesk(a: np.ndarray, scaling_threshold: float,
-            max_iters: int = 10000) -> ScaleCompanion:
+            max_iters: int = 500) -> ScaleCompanion:
     a = np.asarray(a, dtype=np.float64)
     n = a.shape[0]
     rv = np.ones(n)
@@ -50,17 +59,32 @@ def scalesk(a: np.ndarray, scaling_threshold: float,
     thr = float(scaling_threshold)
     has_col = (a != 0).any(axis=0)
     has_row = (a != 0).any(axis=1)
+    best = (np.inf, rv, cv)
     for _ in range(max_iters):
-        colsum = (a * rv[:, None]).sum(axis=0) * cv
-        cv = np.where(has_col, thr / np.where(colsum != 0, colsum, 1.0), cv)
-        rowsum = (a * cv[None, :]).sum(axis=1) * rv
-        rv = np.where(has_row, thr / np.where(rowsum != 0, rowsum, 1.0), rv)
+        colsum = (a * rv[:, None] * cv[None, :]).sum(axis=0)
+        cv = np.where(has_col & (colsum != 0),
+                      cv * thr / np.where(colsum != 0, colsum, 1.0), cv)
+        rowsum = (a * rv[:, None] * cv[None, :]).sum(axis=1)
+        rv = np.where(has_row & (rowsum != 0),
+                      rv * thr / np.where(rowsum != 0, rowsum, 1.0), rv)
         scaled = a * rv[:, None] * cv[None, :]
-        err = max(abs(thr - scaled.sum() / n), abs(thr - scaled.sum() / n))
-        if err <= 10.0:
+        # after the row update every nonempty row sums to thr exactly;
+        # convergence is the COLUMN residual (both checked for safety)
+        cerr = (np.abs(scaled.sum(axis=0)[has_col] - thr).max()
+                if has_col.any() else 0.0)
+        rerr = (np.abs(scaled.sum(axis=1)[has_row] - thr).max()
+                if has_row.any() else 0.0)
+        err = float(max(cerr, rerr))
+        if not np.isfinite(err) or not np.all(np.isfinite(rv)) \
+                or not np.all(np.isfinite(cv)):
+            break                    # signed/degenerate input diverged
+        if err < best[0]:
+            best = (err, rv.copy(), cv.copy())
+        if err <= 1e-6 * abs(thr):
             return ScaleCompanion(rv, cv)
-    warnings.warn("scalesk did not converge; using last iterate")
-    return ScaleCompanion(rv, cv)
+    warnings.warn("scalesk did not converge; using best iterate "
+                  f"(line-sum residual {best[0]:.3g})")
+    return ScaleCompanion(best[1], best[2])
 
 
 def scale_matrix(dense: DenseMatrix, sc: ScaleCompanion) -> DenseMatrix:

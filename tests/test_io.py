@@ -6,7 +6,7 @@ import pytest
 import superman_tpu as sp
 from superman_tpu.core.matrix import DenseMatrix, matrix2compressed
 from superman_tpu.io.triplet import read_triplet, write_triplet
-from superman_tpu.io.matrixmarket import read_matrix_market
+from superman_tpu.io.matrixmarket import read_any, read_matrix_market
 from tests.conftest import random_int_matrix
 
 
@@ -150,3 +150,42 @@ def test_skew_symmetric_mirrors_negated(tmp_path):
     m = read_any(str(p)).mat
     assert m[1, 0] == 5.0 and m[0, 1] == -5.0
     assert m[2, 1] == -2.0 and m[1, 2] == 2.0
+
+
+def test_mtx_out_of_range_index_rejected(tmp_path):
+    """A 0-based entry in a (1-based) MatrixMarket file must raise, not
+    wrap to the last row via numpy negative indexing."""
+    p = tmp_path / "zero_based.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real general\n"
+                 "3 3 3\n0 0 1.5\n2 2 2.5\n3 3 3.5\n")
+    with pytest.raises(ValueError, match="outside the declared"):
+        read_any(str(p), 0, 0, 0)
+
+
+def test_triplet_out_of_range_line_skipped(tmp_path):
+    """v1 triplets skip erroneous lines (reference util.h:351) — an
+    out-of-range index is one; a negative index must NOT wrap."""
+    p = tmp_path / "bad.mtxzero"
+    p.write_text("3 4 double\n0 0 1.0\n-1 2 9.0\n3 0 9.0\n2 2 2.0\n")
+    dm = read_any(str(p), 0, 0, 0)
+    a = np.asarray(dm.mat, dtype=np.float64)
+    assert a[0, 0] == 1.0 and a[2, 2] == 2.0
+    assert (a != 0).sum() == 2          # both bad lines ignored
+
+
+def test_storage_quad_parses_past_f64(tmp_path):
+    """-v quad storage must parse literals at long-double precision: a
+    float() round-trip would quantize >53-bit values before the quad
+    walk sees them (and runner would then route them to the double
+    engine as 'exactly representable')."""
+    if np.finfo(np.longdouble).nmant <= 52:
+        pytest.skip("host long double is f64")
+    lit = "1.00000000000000000007"     # differs from 1.0 past 53 bits
+    p = tmp_path / "quad.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real general\n"
+                 f"2 2 4\n1 1 {lit}\n1 2 1.0\n2 1 1.0\n2 2 1.0\n")
+    dm = read_any(str(p), 0, 0, 1)
+    a = dm.mat
+    assert a.dtype == np.longdouble
+    assert a[0, 0] != np.longdouble(1.0)
+    assert a[0, 0] == np.longdouble(lit)

@@ -139,3 +139,26 @@ def test_compression_autoscales_imbalanced(rng):
     want = perman_brute(a)
     got = sp.permanent(a, calc="df64", compression=True)
     assert got.permanent == pytest.approx(want, rel=1e-7)
+
+
+def test_sinkhorn_converges_doubly_balanced():
+    """The true multiplicative Sinkhorn map must balance BOTH line sums
+    (deliberate deviation from the reference, whose hard-coded <=10
+    mean-sum stop is vacuous and exits after one sweep with columns
+    unbalanced — see prep/scaling.py docstring).  Fixed seed: Sinkhorn's
+    sweep count depends on the draw, and an extreme spread can exceed
+    the iteration budget (then the best iterate + warning is correct
+    behavior, but not what this test pins)."""
+    local = np.random.default_rng(5)
+    a = local.random((8, 8)) + 0.05
+    sc = scalesk(a, scaling_threshold=1.0)
+    s = a * sc.r_v[:, None] * sc.c_v[None, :]
+    assert np.abs(s.sum(axis=0) - 1.0).max() <= 1e-6
+    assert np.abs(s.sum(axis=1) - 1.0).max() <= 1e-6
+    # spread-out magnitudes (the preconditioning target) also balance;
+    # convergence rate falls with the spread, so keep it moderate here
+    b = np.exp2(local.integers(-8, 8, size=(10, 10)).astype(np.float64))
+    sc = scalesk(b, scaling_threshold=2.0)
+    s = b * sc.r_v[:, None] * sc.c_v[None, :]
+    assert np.abs(s.sum(axis=0) - 2.0).max() <= 1e-5
+    assert np.abs(s.sum(axis=1) - 2.0).max() <= 1e-5

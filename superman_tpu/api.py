@@ -27,7 +27,17 @@ def _as_dense(m, flags: Flags) -> DenseMatrix:
         return dm
     from .core.matrix import SparseMatrix
     if isinstance(m, SparseMatrix):
-        m = m.to_dense()
+        # keep the storage class (same dtype rules as the ndarray path
+        # below): densifying as "double" would silently disable the
+        # exact-f32/tf96 tiers for integer-valued sparse inputs
+        vals = np.asarray(m.cvals)
+        if np.issubdtype(vals.dtype, np.integer):
+            tname = "int"
+        elif vals.dtype == np.float32:
+            tname = "float"
+        else:
+            tname = "double"
+        m = m.to_dense(tname)
     if isinstance(m, DenseMatrix):
         dm = m
     elif isinstance(m, str):

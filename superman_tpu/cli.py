@@ -84,7 +84,10 @@ def flags_from_args(args) -> Flags:
     algo = beh["algo"]
     sparse = beh["sparse"]
     hybrid = beh["hybrid"]
-    mesh_shape = (max(args.device, 2),) if beh["multi"] else None
+    # -d 1 means single-device even for a multi-device algorithm id
+    # (clamping it up to 2 would silently override the user's request)
+    mesh_shape = ((args.device,) if beh["multi"] and args.device > 1
+                  else None)
     # reference hybrid semantics: -p6 -c adds the CPU worker to the chunk
     # pool while the accelerator keeps running (gpu stays on)
     return Flags(

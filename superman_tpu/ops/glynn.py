@@ -72,9 +72,21 @@ def glynn_exact(dense: DenseMatrix, flags, mesh=None) -> Result:
     t0 = time.perf_counter()
     if n <= 2 or calc in ("quad", "f64") or n < 19:
         from .oracle import perman_glynn
-        p = perman_glynn(a)
+        # quad (and small-n tf96) keep long-double precision on the host
+        # walk — same contract as ryser_exact's host rung (ryser.py)
+        dt = (np.longdouble if calc in ("quad", "tf96") else np.float64)
+        p = perman_glynn(a, dtype=dt)
         return Result(float(p), time.perf_counter() - t0,
                       algo_name="glynn_host", iterations=1 << max(n - 1, 0))
+
+    # trivial zero: an empty row/column zeroes every Glynn term AND the
+    # scale-retry heuristic would rerun 3 full walks on pure zeros
+    # (same early-out as ryser_exact)
+    if (np.count_nonzero(a, axis=1) == 0).any() or \
+       (np.count_nonzero(a, axis=0) == 0).any():
+        return Result(0.0, time.perf_counter() - t0,
+                      algo_name=f"glynn_pallas_{calc}", iterations=0,
+                      meta={"reason": "empty row/col"})
 
     df = calc == "df64"
     kahan = calc == "f32k"

@@ -402,11 +402,13 @@ def mod_partials(ids_blocks: np.ndarray, x0v, cols, colst, p: int, *,
     u = min(5, r - 1) if use_u16 else 4
     allow_multi = (r + int(np.log2(max(L, 1))) + 5) <= 33
     invp = np.float32(1.0) / np.float32(p)
-    x, aux = chunk_init_mod(jnp.asarray(ids_blocks, jnp.int32),
-                            jnp.asarray(x0v), jnp.asarray(cols),
+    idsj = jnp.asarray(ids_blocks, jnp.int32)
+    x, aux = chunk_init_mod(idsj, jnp.asarray(x0v), jnp.asarray(cols),
                             jnp.float32(p), invp, n=n, n_pad=n_pad,
                             r=jnp.int32(r))
-    alive = jnp.asarray((ids_blocks >= 0).astype(np.float32))
+    # alive mask derived on device from the already-shipped ids (never
+    # send a weight array over the ~35 MB/s tunnel)
+    alive = (idsj >= 0).astype(jnp.float32)
     out = _mod_partials_jit(jnp.asarray([r], jnp.int32), x, aux,
                             jnp.asarray(colst), alive, use_u16=use_u16,
                             u=u, interpret=interpret,
@@ -485,9 +487,12 @@ def _live_exact(a2: np.ndarray, r: int):
     cr = const_rows(support, r)
     if len(cr) == 0:
         return None
+    from .pruning import _PAT_SUPPORT_CAP
     dead = None
     for z in cr:
         cols = np.nonzero(support[z, : n - 1])[0]
+        if len(cols) > _PAT_SUPPORT_CAP:
+            continue     # 2^support bigint pattern: skip = under-prune
         x0_2 = a2[z, n - 1] - sum(a2[z]) // 2       # doubled x0, exact
         pat = [x0_2]
         for j in cols:

@@ -36,6 +36,12 @@ import numpy as np
 from ..core.matrix import DenseMatrix
 from . import gray
 
+#: largest constant-row outer support whose 2^k reachable-value pattern
+#: is materialized (8 MB f64 at 20); heavier rows are skipped by the
+#: masks (under-pruning, correct) and kept in the kernel walk rather
+#: than factored (chunk_factors would pay the same 2^k per row)
+_PAT_SUPPORT_CAP = 20
+
 
 def inverse_gray(g: np.ndarray, m: int) -> np.ndarray:
     """Vectorized gray^{-1}: y such that y ^ (y >> 1) == g (g < 2**m)."""
@@ -73,6 +79,11 @@ def dead_mask_gray(a: np.ndarray, r: int):
     dead = None
     for z in cr:
         cols = np.nonzero(a[z, : n - 1])[0]      # all >= r by constness
+        if len(cols) > _PAT_SUPPORT_CAP:
+            # the reachable-value pattern is 2^support entries; skipping
+            # a heavy row only UNDER-prunes (its chunks stay live) —
+            # correctness is unaffected, memory stays bounded
+            continue
         # reachable x values of row z: flat pattern index bit q selects
         # cols[q] (LSB-first), i.e. pat[i] = x0_z + sum_{q: bit q of i}
         # a[z, cols[q]] — exact in f64 (half-integer walk values)
@@ -236,6 +247,11 @@ def plan_sparse(a: np.ndarray, *, chunk_log2=None,
         return None
     dead_frac = 1.0 - len(ids) / (1 << (n - 1 - r))
     cr = const_rows(ap, r)
+    if len(cr):
+        # heavy-support rows stay in the kernel walk: factoring them
+        # would make chunk_factors materialize a 2^support pattern each
+        sup = np.array([np.count_nonzero(ap[z, : n - 1]) for z in cr])
+        cr = cr[sup <= _PAT_SUPPORT_CAP]
     alive = np.setdiff1d(np.arange(n), cr)
     if allow_factor and len(alive) >= 1:
         # pad the walked row set to the f32 sublane tile (multiple of 8,

@@ -118,13 +118,11 @@ def colst_pack(a: np.ndarray, n_pad: int):
 
 
 def ryser_exact(dense: DenseMatrix, flags, mesh=None,
-                chunk_ids: Optional[np.ndarray] = None,
-                extra_sum: float = 0.0) -> Result:
+                chunk_ids: Optional[np.ndarray] = None) -> Result:
     """Exact permanent of `dense`.
 
-    chunk_ids: optional pruned live-chunk list (sparse/SkipPer path);
-    extra_sum: pre-computed contribution of pruned-away index ranges
-    (always 0 — pruned chunks contribute exactly zero — kept for clarity).
+    chunk_ids: optional pruned live-chunk list (sparse/SkipPer path;
+    pruned chunks contribute exactly zero, so no correction term exists).
     """
     a = np.asarray(dense.mat)
     n = a.shape[0]
@@ -307,14 +305,13 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
                 kahan=kahan, interpret=interpret, threads=flags.threads,
                 cpu_helper=flags.cpu,
                 checkpoint_path=flags.checkpoint_path)
-            total += extra_sum
         else:
             # chop the block list into power-of-2-sized groups so the set
             # of compiled kernel shapes is {1,2,4,...} x num_shards and is
             # REUSED across matrices (the post-pruning block count varies
             # per matrix; without this every sparse matrix would trigger a
             # fresh 30-90 s XLA compile)
-            total = np.longdouble(extra_sum) if tf else extra_sum
+            total = np.longdouble(0.0) if tf else 0.0
             q = ids_blocks.shape[0] // num_shards
             off = 0
             for bit in reversed(range(max(1, q).bit_length())):

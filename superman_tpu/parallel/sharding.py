@@ -177,8 +177,10 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
             # the on-device 32-block reduce (see the has_dead comment):
             # a synthetic (alive, 0) weight pair masks them while keeping
             # the reduced (G, 8, L) transfer — the per-lane fallback
-            # would re-expose the measured D2H bottleneck
-            alive = jnp.asarray((ids_blocks >= 0).astype(np.float32))
+            # would re-expose the measured D2H bottleneck.  Derived on
+            # device from the already-shipped ids (never send a weight
+            # array over the ~35 MB/s tunnel)
+            alive = (args[0] >= 0).astype(jnp.float32)
             w_pair = jnp.stack([alive, jnp.zeros_like(alive)], axis=1)
         xhi, xlo, smid = gray.chunk_init(args[0], args[1], args[2],
                                          n=n, n_pad=n_pad, r=r, df=init_df)

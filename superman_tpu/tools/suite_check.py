@@ -58,8 +58,12 @@ def main(argv=None) -> int:
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument("--calc", default="df64")
     args = p.parse_args(argv)
-    files = [f"{args.root}/{n}_{d}_{s}"
-             for n in args.n for d in args.densities for s in args.seeds]
+    import os
+    cand = [f"{args.root}/{n}_{d}_{s}"
+            for n in args.n for d in args.densities for s in args.seeds]
+    files = [f for f in cand if os.path.exists(f)]
+    for f in sorted(set(cand) - set(files)):
+        print(f"suite_check: skipping missing {f}", file=sys.stderr)
     _, worst = check(files, out=args.out, calc=args.calc)
     if worst > args.tol:
         print(f"SUITE CHECK FAILED: worst rel diff {worst:.3e} > {args.tol}",

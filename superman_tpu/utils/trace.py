@@ -33,7 +33,7 @@ def verbosity() -> int:
     try:
         return int(os.environ.get("SUPERMAN_VERBOSE", "0"))
     except ValueError:
-        return 1
+        return 0       # malformed value -> the documented default (quiet)
 
 
 def log(msg: str, level: int = 1) -> None:

@@ -155,3 +155,30 @@ def test_run_does_not_mutate_caller_flags(rng):
     assert before == after
     r2 = run(DenseMatrix(a, "int"), f)
     assert r1.algo_name == r2.algo_name
+
+
+def test_device_one_means_single_device():
+    """-d 1 must run single-device (mesh None), not silently clamp to a
+    2-device mesh, even for a multi-device algorithm id."""
+    p = build_parser()
+    flags = flags_from_args(p.parse_args(["-f", "x", "-p", "5", "-d", "1"]))
+    assert flags.mesh_shape is None
+    flags2 = flags_from_args(p.parse_args(["-f", "x", "-p", "5", "-d", "4"]))
+    assert flags2.mesh_shape == (4,)
+
+
+def test_sparse_matrix_input_keeps_int_storage(rng):
+    """A SparseMatrix built from integer data must densify as type 'int'
+    (exact-f32/tf96 tiers stay available), matching the ndarray path."""
+    from superman_tpu.core.matrix import matrix2compressed
+    import superman_tpu as sp
+    a = random_int_matrix(rng, 10, 0.5, vmax=4)
+    sm = matrix2compressed(DenseMatrix(a, "int"))
+    want = float(perman_brute(a))
+    r = sp.permanent(sm, calc="tf96")
+    assert r.permanent == pytest.approx(want, rel=1e-9)
+    import warnings as _w
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        sp.permanent(sm, calc="tf96")
+        assert not any("falling back" in str(x.message) for x in rec)

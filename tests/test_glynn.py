@@ -33,3 +33,41 @@ def test_glynn_small_n_host_path(rng):
     a = random_int_matrix(rng, 10, 0.6, vmax=2)
     gl = sp.permanent(a, perman_algo="glynn")
     assert gl.permanent == pytest.approx(perman_brute(a), rel=1e-10)
+
+
+def test_glynn_empty_row_early_out(rng):
+    """A zero row must return 0 without walking (previously 3 full
+    2^(n-1) walks via the scale-retry loop at n >= 19)."""
+    import time as _time
+    a = random_int_matrix(rng, 21, 0.5, vmax=3).astype(np.float64)
+    a[7] = 0.0
+    t0 = _time.perf_counter()
+    r = sp.permanent(a, perman_algo="glynn")
+    assert r.permanent == 0.0
+    assert r.iterations == 0
+    assert _time.perf_counter() - t0 < 5.0
+
+
+def test_glynn_host_quad_walks_longdouble(rng, monkeypatch):
+    """The host Glynn rung must pass dtype=longdouble for quad/tf96
+    (previously walked f64 silently, violating the quad contract; the
+    fix mirrors ryser_exact's host rung)."""
+    from superman_tpu.core.flags import Flags
+    from superman_tpu.core.matrix import DenseMatrix
+    from superman_tpu.ops import glynn as G
+    seen = {}
+    real = __import__("superman_tpu.ops.oracle",
+                      fromlist=["perman_glynn"]).perman_glynn
+
+    def spy(a, dtype=np.float64, **kw):
+        seen["dtype"] = dtype
+        return real(a, dtype=dtype, **kw)
+
+    monkeypatch.setattr("superman_tpu.ops.oracle.perman_glynn", spy)
+    a = random_int_matrix(rng, 8, 0.8, vmax=4).astype(np.longdouble)
+    r = G.glynn_exact(DenseMatrix(a, "double"), Flags(calc="quad"))
+    assert r.algo_name == "glynn_host"
+    assert seen["dtype"] is np.longdouble
+    G.glynn_exact(DenseMatrix(a.astype(np.float64), "double"),
+                  Flags(calc="f64"))
+    assert seen["dtype"] is np.float64

@@ -128,3 +128,20 @@ def test_native_estimators_beyond_64(rng):
     est_s = lib.sup_approx_scaling(a, n, 64, 4, 2, 2, 7,
                                    ctypes.byref(zeros))
     assert est_s == pytest.approx(want, rel=1e-9)
+
+
+def test_read_calculate_return_skips_bad_indices(tmp_path, rng):
+    """The C facade must skip out-of-range triplet lines like the Python
+    reader (an unchecked negative i cast to size_t wrote wild heap
+    memory before): result equals the matrix with bad lines dropped."""
+    from superman_tpu.core.matrix import DenseMatrix
+    from superman_tpu.io.triplet import write_triplet
+    a = random_int_matrix(rng, 8, 0.6, vmax=3)
+    np.fill_diagonal(a, 1)
+    p = str(tmp_path / "bad.txt")
+    write_triplet(p, DenseMatrix(a, "int"))
+    with open(p, "a") as f:
+        f.write("-1 3 9.0\n8 0 9.0\n3 -2 9.0\n2 99 9.0\n")
+    want = perman_brute(a)
+    got = native.read_calculate_return(p, 4, nt=1)
+    assert got == pytest.approx(want, rel=1e-9)

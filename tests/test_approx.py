@@ -199,3 +199,18 @@ def test_smc_auto_engages_at_large_n():
                      number_of_times=512, seed=2)
     assert r.algo_name == "approx_scaling_smc"
     assert r.permanent == pytest.approx(1.0, rel=1e-3)
+
+
+def test_smc_grid_matches_kasteleyn():
+    """The flagship invocation shape (grid_permanent + smc + log-space
+    meta) at CI scale: 8x8 grid (n=32) vs the Kasteleyn closed form,
+    within 4 sigma of the cross-population stderr."""
+    from superman_tpu.prep.gridgraph import kasteleyn_log2
+    r = sp.grid_permanent(8, 8, approximation=True, perman_algo="scaling",
+                          smc=1, number_of_times=2000, seed=21)
+    l2 = float(r.meta["log2_estimate"])
+    srel = float(r.meta["stderr_rel"])
+    assert srel > 0
+    exact_l2 = float(kasteleyn_log2(8, 8))
+    sig_l2 = srel / np.log(2.0)
+    assert abs(l2 - exact_l2) <= 4.0 * sig_l2

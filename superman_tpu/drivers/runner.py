@@ -60,6 +60,11 @@ def run(dense: DenseMatrix, flags: Flags) -> Result:
     return run_algo(dense, flags)
 
 
+#: (n, hash(bytes)) -> (Fraction, meta): exact certifications are
+#: deterministic and cost up to 5 s each on the one-core host
+_CERT_CACHE: dict = {}
+
+
 def _compression_sanity(dense: DenseMatrix, flags: Flags,
                         res: Result) -> Result:
     """Bail out of a numerically broken compression pipeline.
@@ -107,7 +112,19 @@ def _compression_sanity(dense: DenseMatrix, flags: Flags,
         except Exception:
             secs, core_n = float("inf"), 0
         if secs < 5.0 and (core_n <= 16 or native_available()):
-            frac, emeta = perman_exact_fraction(a)
+            # serving loops call permanent() repeatedly on the same
+            # matrix; the up-to-5 s CRT certification is deterministic,
+            # so cache it by content (round-3 advisor finding)
+            key = (a.shape[0], hash(a.tobytes()))
+            hit = _CERT_CACHE.get(key)
+            if hit is not None:
+                frac, emeta = hit
+                emeta = {**emeta, "wall_s": 0.0}
+            else:
+                frac, emeta = perman_exact_fraction(a)
+                if len(_CERT_CACHE) >= 16:
+                    _CERT_CACHE.pop(next(iter(_CERT_CACHE)))
+                _CERT_CACHE[key] = (frac, emeta)
             ev = _float_of_fraction(frac)
             rel = (abs(p - ev) / abs(ev) if ev and np.isfinite(ev)
                    else (0.0 if p == ev else np.inf))
@@ -272,14 +289,9 @@ def _run_auto(dm: DenseMatrix, flags: Flags, mesh) -> Result:
     from ..ops.ryser import ryser_exact
 
     TARGET = float(flags.auto_target)
-    fast = ryser_exact(dm, dataclasses.replace(flags, calc="f32k"),
-                       mesh=mesh)
     res = ryser_exact(dm, dataclasses.replace(flags, calc="df64"),
                       mesh=mesh)
     scale = max(abs(res.permanent), 1e-300)
-    diff_rel = abs(res.permanent - fast.permanent) / scale
-    # f32k error ~ diff_rel; df64 error ~ diff_rel * 2^-24
-    est_df64_err = diff_rel * 2.0 ** -24
     # correlated-rounding guard: amplification measured directly.
     # amp_l2 can exceed 1000 bits (huge-entry cancellation-bound inputs
     # — the probe's whole reason to exist), where a bare 2.0**e would
@@ -292,7 +304,23 @@ def _run_auto(dm: DenseMatrix, flags: Flags, mesh) -> Result:
     amp_l2 = (_amp_probe_log2(np.asarray(dm.mat, dtype=np.float64))
               - float(np.log2(scale)))
     probe_err = _exp2_sat(amp_l2 - 48.0) if np.isfinite(amp_l2) else 0.0
-    est_df64_err = max(est_df64_err, probe_err)
+    # happy path (round-3 verdict weak #6): the probe alone predicts
+    # df64's error; when it sits 3+ bits under the target the f32k
+    # companion walk (the other ~1x of walk cost) cannot change the
+    # decision — skip it.  The probe's heavy-tail low bias is why the
+    # margin is TARGET/8, not TARGET; escalation candidates always run
+    # the companion measurement.
+    if probe_err < TARGET / 8.0:
+        res.meta["auto"] = {"escalated": None,
+                            "df64_err_est": float(f"{probe_err:.2e}"),
+                            "err_est": float(f"{probe_err:.2e}"),
+                            "probe_only": True}
+        return res
+    fast = ryser_exact(dm, dataclasses.replace(flags, calc="f32k"),
+                       mesh=mesh)
+    diff_rel = abs(res.permanent - fast.permanent) / scale
+    # f32k error ~ diff_rel; df64 error ~ diff_rel * 2^-24
+    est_df64_err = max(diff_rel * 2.0 ** -24, probe_err)
     if est_df64_err > TARGET:
         # tf96's predicted error from the same two amplification
         # measurements (eff. mantissa ~70 bits vs df64's ~48)

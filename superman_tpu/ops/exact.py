@@ -250,6 +250,21 @@ def exact_cost_estimate(a: np.ndarray,
     bits = _log2_bound(core) + 3
     npr = max(1, math.ceil(bits / 61.0)) + 1
     secs = npr * (1 << max(0, n - 1)) * n * 6e-9
+    from ..bindings.native import native_available
+    if n > 16 and not native_available():
+        # the 6 ns/element model prices the NATIVE walk, but the
+        # engine=None selection below can only route this core to the
+        # TPU engine (real floor: _TPU_FIXED_S of Mosaic compiles) or
+        # raise — returning the native price would let a caller with a
+        # small budget accept an estimate no backend can honor
+        # (round-3 advisor finding).
+        if not _tpu_backend():
+            return math.inf, npr, n
+        secs = max(secs, _TPU_FIXED_S)
+        if budget_s is not None and budget_s <= _TPU_FIXED_S:
+            return secs, npr, n     # already over budget; skip the plan
+        from .modp import tpu_cost_estimate
+        return tpu_cost_estimate(core, bits) + _TPU_FIXED_S, npr, n
     if (secs > _TPU_CROSSOVER_S and _tpu_backend()
             and (budget_s is None or budget_s > _TPU_FIXED_S)):
         from .modp import tpu_cost_estimate

@@ -64,6 +64,23 @@ MOD_GITERS = 10.0e9
 #: the realized rate lands below the MOD_GITERS placeholder
 _CAP_ITERS = int(6.0 * MOD_GITERS)
 
+#: realized device rate (iters/s), measured from the first WARM launch
+#: (round-3 advisor: the placeholder-derived cap could exceed the
+#: watchdog if the realized rate lands low); None until measured
+_RATE_ITERS_S = None
+#: per-launch wall budget once the rate is known (sharding.py uses ~20 s)
+_WALL_TARGET_S = 20.0
+#: compile keys already launched this process (their walls are walk-only)
+_WARM_KEYS: set = set()
+
+
+def _cap_iters() -> int:
+    """Iteration cap per launch: measured-rate * 20 s once a warm launch
+    has been timed; the conservative placeholder cap before that."""
+    if _RATE_ITERS_S is None:
+        return _CAP_ITERS
+    return max(int(_RATE_ITERS_S * _WALL_TARGET_S), 1 << 24)
+
 #: deepest plannable r: one block (512 lanes x 2^r steps) is the walk's
 #: indivisible launch unit, so it must fit under _CAP_ITERS on its own
 _R_CAP = int(math.floor(math.log2(_CAP_ITERS / 512)))
@@ -391,13 +408,35 @@ def mod_partials(ids_blocks: np.ndarray, x0v, cols, colst, p: int, *,
             f"mod_partials: one block of {per_block:.3g} iters (L={L}, "
             f"r={r}) exceeds the device watchdog cap {_CAP_ITERS:.3g}; "
             f"plan with r <= {_R_CAP}")
-    if not interpret and B > 1 and B * per_block > _CAP_ITERS:
-        g = max(1, _CAP_ITERS // per_block)
+    if not interpret and B > 1 and B * per_block > _cap_iters():
+        # split into power-of-two groups under the launch cap; time each
+        # WARM group (a group whose compile key already launched — cold
+        # walls are compile-dominated and would wreck the rate) and feed
+        # the realized rate back into the cap.  g is re-derived at most
+        # once per call so a mid-run correction costs one extra compile
+        # shape, not one per group.
+        global _RATE_ITERS_S
+        total, i = 0.0, 0
+        g = max(1, _cap_iters() // per_block)
         g = 1 << (int(g).bit_length() - 1)
-        return float(sum(
-            mod_partials(ids_blocks[i:i + g], x0v, cols, colst, p,
-                         n=n, n_pad=n_pad, r=r, interpret=interpret)
-            for i in range(0, B, g)))
+        g_adjusted = False
+        while i < B:
+            gb = ids_blocks[i:i + g]
+            key = (gb.shape[0], n_pad, gb.shape[1], r)
+            t0 = time.perf_counter()
+            total += mod_partials(gb, x0v, cols, colst, p, n=n,
+                                  n_pad=n_pad, r=r, interpret=interpret)
+            wall = time.perf_counter() - t0
+            if key in _WARM_KEYS and wall > 0.25:
+                _RATE_ITERS_S = gb.shape[0] * per_block / wall
+                if not g_adjusted:
+                    g2 = max(1, _cap_iters() // per_block)
+                    g2 = 1 << (int(g2).bit_length() - 1)
+                    if g2 != g:
+                        g, g_adjusted = g2, True
+            _WARM_KEYS.add(key)
+            i += gb.shape[0]
+        return float(total)
     use_u16 = bool(r >= 5 and not interpret)
     u = min(5, r - 1) if use_u16 else 4
     allow_multi = (r + int(np.log2(max(L, 1))) + 5) <= 33
@@ -445,8 +484,16 @@ def perman_core_mod(core, p: int, *, ids=None, r=None, lanes: int = 512,
     elif len(ids) == 0:
         return 0          # every chunk carries a zero row: per == 0
     from ..parallel.sharding import pad_ids
+    # lane width must come from a SMALL closed set: each distinct L is a
+    # fresh Mosaic compile (~60 s) and non-128-multiple lane dims risk
+    # relayout/rejection on the axon compiler — round a sub-`lanes` live
+    # set up to the next power of two (floor 128 on a real TPU) instead
+    # of using the raw live count (round-3 advisor finding)
+    L = min(lanes, max(1, 1 << (len(ids) - 1).bit_length()))
+    if not interpret:
+        L = min(lanes, max(L, 128))
     ids_blocks = pad_ids(np.asarray(ids, dtype=np.int64).astype(np.int32),
-                         min(lanes, max(1, len(ids))), 1,
+                         L, 1,
                          block_multiple=32 if len(ids) >= 32 else 1)
     total = mod_partials(ids_blocks, x0v, cols, colst, p,
                          n=n, n_pad=n_pad, r=int(r), interpret=interpret)

@@ -57,7 +57,16 @@ def test_bench_records_meet_baseline():
     paths = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
     assert paths, "no BENCH_r*.json evidence"
     latest = json.load(open(paths[-1]))
-    parsed = latest.get("parsed") or latest
+    parsed = latest.get("parsed") or (
+        latest if "vs_baseline" in latest else None)
+    if parsed is None:
+        # A failed capture (rc != 0, parsed: null) must fail loudly, not
+        # KeyError, and must not be papered over by an older success: the
+        # newest record IS the round's evidence (round-3 verdict item 1).
+        pytest.fail(
+            f"{os.path.basename(paths[-1])}: bench capture failed "
+            f"(rc={latest.get('rc')}) — recapture required "
+            f"(tail: {str(latest.get('tail'))[-200:]!r})")
     assert parsed["vs_baseline"] >= 1.0, parsed
     # ratcheted to round-2 achievement (df64 4.49 G recorded; a slide
     # back toward the round-1 floor must fail CI — round-2 verdict #8)

@@ -48,6 +48,19 @@ def two_prod(a, b):
     return p, e
 
 
+def two_prod_presplit(a, ah, al, b, bh, bl):
+    """Dekker TwoProd with both operands pre-split (9 flops).
+
+    tf96 multiplies form three products over four distinct words
+    (a0*b0, a0*b1, a1*b0) — sharing the four Veltkamp splits saves
+    8 flops per product vs calling two_prod three times (ops/tf96.py
+    carries the full ledger).  Exactness is unchanged: the split is a
+    pure function of the word."""
+    p = a * b
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
 def df_add(ahi, alo, bhi, blo):
     """df64 + df64 (Bailey's sloppy add; ~11 flops, error O(eps^2))."""
     s, e = two_sum(ahi, bhi)

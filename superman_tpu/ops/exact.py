@@ -200,14 +200,35 @@ def _perman_mod_host(m: List[List[int]], p: int) -> int:
 
 
 def _log2_bound(m: List[List[int]]) -> float:
-    """log2 row-sum bound on |per(M)|: prod_i sum_j |M_ij|."""
-    total = 0.0
-    for row in m:
-        s = sum(abs(v) for v in row)
-        if s == 0:
-            return 0.0
-        total += math.log2(s) if s.bit_length() < 900 else s.bit_length()
-    return total
+    """log2 upper bound on |per(M)|.
+
+    Base: the row-sum bound prod_i sum_j |M_ij| in BOTH orientations
+    (per(M) = per(M^T)), taking the smaller.  For 0/1 matrices it is
+    tightened to Bregman–Minc  per(A) <= prod_i (r_i!)^(1/r_i)  — on
+    pattern cores (chesapeake-class, row degrees ~10-20) that is ~25-30%
+    fewer bits, which is ~25-30% fewer CRT primes and hence walks for
+    the native and TPU Z_p engines (every prime is a full 2^(n-1-r)
+    Gray walk; the bound is a direct throughput multiplier)."""
+    n = len(m)
+    rows = [sum(abs(v) for v in row) for row in m]
+    if any(s == 0 for s in rows):
+        return 0.0
+    cols = [sum(abs(m[i][j]) for i in range(n)) for j in range(n)]
+    if any(s == 0 for s in cols):
+        return 0.0
+
+    def lg(s):
+        return math.log2(s) if s.bit_length() < 900 else float(s.bit_length())
+
+    best = min(sum(map(lg, rows)), sum(map(lg, cols)))
+    if all(v == 0 or v == 1 for row in m for v in row):
+        # Bregman–Minc; lgamma is ~1e-15-relative, absolute slack well
+        # under the caller's +3-bit margin
+        def bm(degs):
+            return sum(math.lgamma(r + 1) / (math.log(2) * r) for r in degs)
+
+        best = min(best, bm(rows), bm(cols))
+    return best
 
 
 #: native cost above which the TPU modular engine (ops/modp.py) takes

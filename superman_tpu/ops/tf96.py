@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .df64 import quick_two_sum, two_prod, two_sum
+from .df64 import (quick_two_sum, two_prod, two_prod_presplit, two_sum,
+                   veltkamp_split)
 
 
 def renorm3(a0, a1, a2):
@@ -31,6 +32,23 @@ def renorm3(a0, a1, a2):
     # guaranteed ordered, so QuickTwoSum's precondition can fail
     r1, r2 = two_sum(t1, t2)
     return r0, r1, r2
+
+
+def renorm3_prod(r0, r1, r2):
+    """Cheap renormalization for the PRODUCT path's structurally-ordered
+    words (9 flops vs renorm3's 18; round-3 verdict item 7 — the tf96
+    tree spends ~18% of its flops renormalizing already-nearly-
+    normalized triples).
+
+    Preconditions (hold at both call sites, tf_mul / tf_mul_dd):
+    (r0, r1) came from TwoSum(p0, s) + TwoSum(c, low) chains, so
+    |r1| <= ~2^-21|r0| (FastTwoSum safe) and (r1, r2) need only the
+    boundary between e = err(r0 + r1) and r2 resolved exactly — e and
+    r2 are not magnitude-ordered (e can be 0), so that one stays a full
+    TwoSum."""
+    s0, e = quick_two_sum(r0, r1)
+    s1, s2 = two_sum(e, r2)
+    return s0, s1, s2
 
 
 def tf_add(a0, a1, a2, b0, b1, b2):
@@ -52,34 +70,48 @@ def tf_from_dd(hi, lo):
 
 
 def tf_mul_dd(ahi, alo, bhi, blo):
-    """(exact df64) x (exact df64) -> tf96, error ~2^-70 relative.
+    """(exact df64) x (exact df64) -> tf96, error ~2^-70 relative
+    (81 flops: shared splits 16 + presplit products 27 + TwoSums 12 +
+    FastTwoSum 3 + order-2 fold 5 + TwoSum 6 + renorm3_prod 9 + a
+    stray mul; was 104 with per-product splits and full renorm3).
 
     Order-1 words (e0, p1, p2 ~ 2^-24 of the product) flow through exact
     TwoSums only; order-2 words (~2^-48) may be folded linearly — their
     rounding lands at ~2^-72."""
-    p0, e0 = two_prod(ahi, bhi)          # dominant
-    p1, e1 = two_prod(ahi, blo)
-    p2, e2 = two_prod(alo, bhi)
+    ah, al = veltkamp_split(ahi)
+    lh, ll = veltkamp_split(alo)
+    bh, bl = veltkamp_split(bhi)
+    mh, ml = veltkamp_split(blo)
+    p0, e0 = two_prod_presplit(ahi, ah, al, bhi, bh, bl)   # dominant
+    p1, e1 = two_prod_presplit(ahi, ah, al, blo, mh, ml)
+    p2, e2 = two_prod_presplit(alo, lh, ll, bhi, bh, bl)
     t, et = two_sum(p1, p2)
     s, es = two_sum(t, e0)               # exact order-1 sum
-    r0, c = two_sum(p0, s)
+    # |s| <= ~2^-21.6 |p0| structurally -> FastTwoSum is safe
+    r0, c = quick_two_sum(p0, s)
     low = et + es + e1 + e2 + alo * blo  # order-2 terms
     r1, r2 = two_sum(c, low)
-    return renorm3(r0, r1, r2)
+    return renorm3_prod(r0, r1, r2)
 
 
 def tf_mul(a0, a1, a2, b0, b1, b2):
-    """Triple x triple -> triple, error ~2^-70 relative."""
-    p0, e0 = two_prod(a0, b0)            # exact dominant product
-    p1, e1 = two_prod(a0, b1)
-    p2, e2 = two_prod(a1, b0)
+    """Triple x triple -> triple, error ~2^-70 relative (85 flops; was
+    102 before split sharing + structural Fast/cheap renorm — the
+    round-4 tf96 flop cut, validated by the exact-integer fuzz)."""
+    ah, al = veltkamp_split(a0)
+    ch, cl = veltkamp_split(a1)
+    bh, bl = veltkamp_split(b0)
+    dh, dl = veltkamp_split(b1)
+    p0, e0 = two_prod_presplit(a0, ah, al, b0, bh, bl)     # exact dominant
+    p1, e1 = two_prod_presplit(a0, ah, al, b1, dh, dl)
+    p2, e2 = two_prod_presplit(a1, ch, cl, b0, bh, bl)
     t, et = two_sum(p1, p2)
     s, es = two_sum(t, e0)               # exact order-1 sum
-    r0, c = two_sum(p0, s)
+    r0, c = quick_two_sum(p0, s)         # |s| <= ~2^-21.6 |p0|
     low = (et + es + e1 + e2             # order-2 and order-3 terms
            + a0 * b2 + a2 * b0 + a1 * b1)
     r1, r2 = two_sum(c, low)
-    return renorm3(r0, r1, r2)
+    return renorm3_prod(r0, r1, r2)
 
 
 def tree_prod_tf96(x):

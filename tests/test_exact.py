@@ -291,3 +291,33 @@ def test_auto_flags_low_confidence_when_exact_unaffordable(rng):
     aerr = abs(res.permanent - want)
     assert aerr <= max(1e3 * am["err_est"] * abs(res.permanent),
                        1e-30 * abs(want))
+
+
+def test_log2_bound_orientations_and_bregman(rng):
+    """The CRT modulus bound: valid (>= log2 |per|), no looser than the
+    row-sum bound, and Bregman-Minc-tight on 0/1 matrices (J_n: Bregman
+    equals log2(n!) exactly, vs n*log2(n) for row sums — the bound is a
+    direct walk-count multiplier for the Z_p engines)."""
+    import math
+    from superman_tpu.ops.exact import _log2_bound
+    from superman_tpu.ops.oracle import perman_brute
+
+    j5 = [[1] * 5 for _ in range(5)]
+    b = _log2_bound(j5)
+    assert math.log2(math.factorial(5)) - 1e-9 <= b
+    assert b <= math.log2(math.factorial(5)) + 1e-6      # Bregman tight on J_n
+    assert b < 5 * math.log2(5)                          # beats row sums
+
+    for _ in range(6):
+        n = int(rng.integers(4, 8))
+        a = (rng.random((n, n)) < 0.6).astype(int)
+        m = [[int(v) for v in row] for row in a]
+        p = perman_brute(np.asarray(a, dtype=np.int64))
+        bb = _log2_bound(m)
+        if p != 0:
+            assert bb >= math.log2(abs(p)) - 1e-9, (m, p, bb)
+
+    # signed integer matrix: falls back to min(row, col) sum bound
+    s = [[3, -2], [-1, 4]]
+    assert _log2_bound(s) == pytest.approx(
+        min(math.log2(5) + math.log2(5), math.log2(4) + math.log2(6)))

@@ -48,6 +48,8 @@ def main():
     f32 = best_of(lambda: sp.permanent(dm, calc="f32"))
     sp.permanent(dm, calc="f32k")
     f32k = best_of(lambda: sp.permanent(dm, calc="f32k"))
+    sp.permanent(dm, calc="tf96")
+    tf96 = best_of(lambda: sp.permanent(dm, calc="tf96"), k=3)
 
     # sparse floor: the only measured reference numbers are CPU SkipPer
     # 0.563-1.30 s on n=32 d=0.20 (BASELINE.md); dense engine wall on
@@ -78,6 +80,10 @@ def main():
                 f32k.iterations / f32k.time / 1e9, 4),
             "f32k_rel_err": float(
                 f"{abs(f32k.permanent - NATIVE_DOUBLE_VALUE) / NATIVE_DOUBLE_VALUE:.2e}"),
+            "tf96_g_iters_per_sec": round(
+                tf96.iterations / tf96.time / 1e9, 4),
+            "tf96_rel_err": float(
+                f"{abs(tf96.permanent - NATIVE_DOUBLE_VALUE) / NATIVE_DOUBLE_VALUE:.2e}"),
             "sparse_n32_d020_wall_s": round(sparse.time, 4),
             "sparse_n32_d020_dense_wall_s": round(sdense.time, 4),
             "sparse_vs_dense_speedup": round(sdense.time / sparse.time, 3),

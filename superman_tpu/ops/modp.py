@@ -12,17 +12,23 @@ This module runs the SAME Z_p walk as a TPU Pallas kernel, reusing the
 engine's whole planning stack (aligned gray chunks `ops/gray.py`, pruned
 live-chunk plans `ops/pruning.py`):
 
-* primes p <= 4093: residues and their pairwise products stay integers
-  < 2^24, every one EXACTLY representable in f32 — the walk is ordinary
-  VPU f32 arithmetic with a floor-multiply Barrett-style reduction
-  (q = floor(v * (1/p)); r = v - q*p; two conditional +-p corrections
-  absorb the f32 reciprocal's +-1 quotient error).  ~12 bits/prime, so
-  a B-bit CRT bound costs ceil(B/12) walks.
+* primes p <= 2039 with a LAZY residue representation in [0, 2p): all
+  values and their pairwise products stay integers < 4p^2 < 2^24, every
+  one EXACTLY representable in f32 — the walk is ordinary VPU f32
+  arithmetic with a floor-multiply Barrett-style reduction whose
+  reciprocal is rounded DOWN (invp' = (1 - 2^-22)/p in f32, provably
+  < 1/p), so q = floor(v * invp') never overestimates and
+  r = v - q*p lands in [0, 2p) with NO conditional correction at all.
+  The round-3 kernel used strict [0, p) residues at p <= 4093: its
+  reduce needed two compare/select corrections (10 ops vs 4), making
+  the whole step ~1.65x more expensive for only 12/11 more bits per
+  prime — the lazy walk nets ~1.5x more CRT bits per second (round-4
+  verdict #8, measured ledger in tools/modp_rate.py).
 * x updates, the product tree (aligned 8-row groups first — sublane
   alignment is load-bearing, see ops/df64.py), and the accumulator all
-  reduce mod p each step; a lane's partial sum stays < p, so per-block
-  sums are EXACT plain f32 adds (KB*p < 2^24) and the host total is an
-  exact float64 sum (< 2^53) reduced once.
+  reduce each step; a lane's partial sum stays lazy in [0, 2p), so
+  per-block sums are EXACT plain f32 adds (KB*2p < 2^17) and the host
+  total is an exact float64 sum (< 2^53) reduced mod p once.
 * p and 1/p ride in VMEM rows beside the mid-step sign (aux[3, L]), and
   r stays a runtime SMEM scalar — compile keys are shape-only, so ONE
   Mosaic compile serves every prime and every chunk size (the axon
@@ -52,8 +58,17 @@ from . import gray
 
 _I32 = jnp.int32
 
-#: largest usable prime: p^2 must stay an exact f32 integer (< 2^24)
-PRIME_CEIL = 4093
+#: largest usable prime: lazy residues live in [0, 2p), so (2p)^2 must
+#: stay an exact f32 integer (< 2^24) -> p < 2^11
+PRIME_CEIL = 2039
+
+
+def _invp_down(p) -> np.float32:
+    """f32 reciprocal provably BELOW 1/p: q = floor(v * invp_down) then
+    never overestimates floor(v/p), so v - q*p >= 0 without correction
+    and < 2p because the relative shortfall (~2^-21) times the largest
+    v/p (= 4p < 2^13) stays far under 1."""
+    return np.float32((1.0 - 2.0 ** -22) * np.float32(1.0 / np.float32(p)))
 
 #: measured-on-hardware lane-iteration rate placeholder for cost
 #: estimates (per prime); refined by tools once measured
@@ -135,11 +150,13 @@ def pack_mod(am: np.ndarray, p: int, n_pad: int):
 def chunk_init_mod(chunk_ids, x0v, cols, p, invp, n: int, n_pad: int, r):
     """Per-lane Z_p x init from chunk ids (mirrors gray.chunk_init).
 
-    The bit-weighted column sum stays < n_pad * p < 2^18 — exact in f32 —
-    and reduces mod p once at the end.  Dead (sentinel) lanes get x = 0:
-    every product term is then 0, contributing nothing in any Z_p.
-    Returns (x, aux) with aux = [sign_mid; p; invp] rows, (B, 3, L).
-    """
+    The bit-weighted column sum stays < n_pad * p < 2^17 — exact in f32 —
+    and reduces once at the end into the LAZY range [0, 2p) (invp is the
+    downward reciprocal, see _invp_down: the quotient never
+    overestimates, so no corrections are needed).  Dead (sentinel) lanes
+    get x = 0: every product term is then 0, contributing nothing in
+    any Z_p.  Returns (x, aux) with aux = [sign_mid; p; invp] rows,
+    (B, 3, L)."""
     dead = (chunk_ids < 0)
     ids = jnp.where(dead, 0, chunk_ids)
     bits_f = gray.chunk_gray_bits(ids, n, r).astype(jnp.float32)
@@ -149,8 +166,6 @@ def chunk_init_mod(chunk_ids, x0v, cols, p, invp, n: int, n_pad: int, r):
         x = x + cols[k][None, :, None] * bits_f[:, :, k][:, None, :]
     q = jnp.floor(x * invp)
     x = x - q * p
-    x = jnp.where(x < 0, x + p, x)
-    x = jnp.where(x >= p, x - p, x)
     alive = jnp.where(dead, 0.0, 1.0).astype(jnp.float32)[:, None, :]
     x = x * alive
     smid = (1 - 2 * (ids & 1)).astype(jnp.float32)[:, None, :]
@@ -162,17 +177,20 @@ def chunk_init_mod(chunk_ids, x0v, cols, p, invp, n: int, n_pad: int, r):
 # ------------------------------------------------------------- the walk
 
 def _mod_reduce(v, p_row, invp_row):
-    """v (exact f32 integer in [0, p^2]) -> v mod p in [0, p)."""
+    """v (exact f32 integer in [0, 4p^2)) -> v mod p, LAZY in [0, 2p).
+
+    invp_row is the downward reciprocal (_invp_down): q never
+    overestimates floor(v/p), so the remainder is already nonnegative
+    and < 2p — zero corrections (4 flops vs the strict form's 10)."""
     q = jnp.floor(v * invp_row)
-    rr = v - q * p_row
-    rr = jnp.where(rr < jnp.float32(0), rr + p_row, rr)
-    return jnp.where(rr >= p_row, rr - p_row, rr)
+    return v - q * p_row
 
 
 def _tree_prod_mod(x, p_row, invp_row):
-    """Product over axis 0 of (s, L) residues, mod p at every level
-    (products of two residues are exact f32; three are not).  Same
-    aligned 8-row-group fold order as df64.tree_prod_f32."""
+    """Product over axis 0 of (s, L) LAZY residues (in [0, 2p)), reduced
+    at every level (products of two lazy residues are exact f32 ints
+    < 4p^2 < 2^24; three are not).  Same aligned 8-row-group fold order
+    as df64.tree_prod_f32."""
     s = x.shape[0]
     if s & (s - 1) != 0:
         assert s % 8 == 0, f"pad axis 0 to a multiple of 8, got {s}"
@@ -186,35 +204,40 @@ def _tree_prod_mod(x, p_row, invp_row):
     return x
 
 
-def _x_add(x, c, p_row):
-    """x + c with both in [0, p): one conditional correction."""
+def _x_add(x, c, p2_row):
+    """x + c for lazy x in [0, 2p) and c in [0, p]: one conditional -2p
+    (subtracting 2p keeps the value's class mod p)."""
     v = x + c
-    return jnp.where(v >= p_row, v - p_row, v)
+    return jnp.where(v >= p2_row, v - p2_row, v)
 
 
-def _x_sub(x, c, p_row):
+def _x_sub(x, c, p2_row):
+    """x - c via the precomputed complement is preferred (see callers);
+    this direct form keeps lazy range with one conditional +2p."""
     v = x - c
-    return jnp.where(v < jnp.float32(0), v + p_row, v)
+    return jnp.where(v < jnp.float32(0), v + p2_row, v)
 
 
-def _x_add_signed(x, c, s_row, p_row):
-    """x + s*c for a (1, L) sign row of +-1: both corrections."""
+def _x_add_signed(x, c, s_row, p2_row):
+    """x + s*c for a (1, L) sign row of +-1, lazy x in [0, 2p),
+    c in [0, p]: v in (-p, 3p), two corrections by 2p."""
     v = x + c * s_row
-    v = jnp.where(v < jnp.float32(0), v + p_row, v)
-    return jnp.where(v >= p_row, v - p_row, v)
+    v = jnp.where(v < jnp.float32(0), v + p2_row, v)
+    return jnp.where(v >= p2_row, v - p2_row, v)
 
 
-def _acc_add_mod(acc, prod, pos, p_row):
-    """acc (+/-)= prod in Z_p; `pos` may be a python bool or a (1, L)
-    +-1 f32 row (the dynamic-step sign)."""
+def _acc_add_mod(acc, prod, pos, p2_row):
+    """acc (+/-)= prod in Z_p, both lazy in [0, 2p); `pos` may be a
+    python bool or a (1, L) +-1 f32 row (the dynamic-step sign).
+    -prod is represented as 2p - prod (== -prod mod p, in (0, 2p])."""
     if pos is True:
         t = prod
     elif pos is False:
-        t = p_row - prod          # prod == 0 -> t == p, fixed below
+        t = p2_row - prod
     else:
-        t = jnp.where(pos > jnp.float32(0), prod, p_row - prod)
+        t = jnp.where(pos > jnp.float32(0), prod, p2_row - prod)
     v = acc + t
-    return jnp.where(v >= p_row, v - p_row, v)
+    return jnp.where(v >= p2_row, v - p2_row, v)
 
 
 def _walk_mod_scalar(r, x0, aux, colst):
@@ -227,6 +250,7 @@ def _walk_mod_scalar(r, x0, aux, colst):
     smid = aux[0:1]
     p_row = aux[1:2]
     invp_row = aux[2:3]
+    p2_row = p_row + p_row           # lazy-range bound, once per program
     lane_k = lax.broadcasted_iota(jnp.int32, (n_pad, nb_pad), 1)
 
     acc = _tree_prod_mod(x0, p_row, invp_row)      # m = 0 term, sign +1
@@ -239,11 +263,11 @@ def _walk_mod_scalar(r, x0, aux, colst):
         s_row = jnp.where(k == r - _I32(1), smid, s_scalar)
         sel = (lane_k == k).astype(jnp.float32)
         ck = jnp.sum(colst * sel, axis=1, keepdims=True)
-        x = _x_add_signed(x, ck, s_row, p_row)
+        x = _x_add_signed(x, ck, s_row, p2_row)
         prod = _tree_prod_mod(x, p_row, invp_row)
         sign_m = jnp.where((m & _I32(1)) == _I32(0),
                            jnp.float32(1), jnp.float32(-1))
-        acc = _acc_add_mod(acc, prod, sign_m, p_row)
+        acc = _acc_add_mod(acc, prod, sign_m, p2_row)
         return x, acc
 
     _, acc = lax.fori_loop(_I32(1), _I32(1) << r, body, (x0, acc))
@@ -262,6 +286,7 @@ def _walk_mod_u16(r, x0, aux, colst, *, u: int = 4):
     smid = aux[0:1]
     p_row = aux[1:2]
     invp_row = aux[2:3]
+    p2_row = p_row + p_row           # lazy-range bound, once per program
     lane_k = lax.broadcasted_iota(jnp.int32, (n_pad, nb_pad), 1)
     ck_static = [colst[:, k:k + 1] for k in range(u)]
 
@@ -269,13 +294,13 @@ def _walk_mod_u16(r, x0, aux, colst, *, u: int = 4):
         x, acc = carry
         for j, k, sgn in _static_table(u):
             if sgn == 0:          # j == 2**(u-1): sign is the block parity
-                x = _x_add_signed(x, ck_static[u - 1], b_parity_pos, p_row)
+                x = _x_add_signed(x, ck_static[u - 1], b_parity_pos, p2_row)
             elif sgn > 0:
-                x = _x_add(x, ck_static[k], p_row)
+                x = _x_add(x, ck_static[k], p2_row)
             else:
-                x = _x_sub(x, ck_static[k], p_row)
+                x = _x_sub(x, ck_static[k], p2_row)
             prod = _tree_prod_mod(x, p_row, invp_row)
-            acc = _acc_add_mod(acc, prod, (j & 1) == 0, p_row)
+            acc = _acc_add_mod(acc, prod, (j & 1) == 0, p2_row)
         return x, acc
 
     acc0 = _tree_prod_mod(x0, p_row, invp_row)     # m = 0 term
@@ -294,9 +319,9 @@ def _walk_mod_u16(r, x0, aux, colst, *, u: int = 4):
         s_row = jnp.where(k16 == r - _I32(1), smid, s16)
         sel = (lane_k == k16).astype(jnp.float32)
         ck = jnp.sum(colst * sel, axis=1, keepdims=True)
-        x = _x_add_signed(x, ck, s_row, p_row)
+        x = _x_add_signed(x, ck, s_row, p2_row)
         prod = _tree_prod_mod(x, p_row, invp_row)
-        acc = _acc_add_mod(acc, prod, True, p_row)
+        acc = _acc_add_mod(acc, prod, True, p2_row)
         return x, acc
 
     carry = lax.fori_loop(_I32(0), nb - _I32(1), block, (x0, acc0))
@@ -340,8 +365,9 @@ def _mod_partials_jit(r_arr, x, aux, colst, alive, *, use_u16: bool,
                       u: int, interpret: bool, allow_multi: bool = True):
     """(B, n_pad, L) lane inits -> (G or B, 8, L) partial sums.
 
-    Per-lane sums are < p; the KB=32 group reduce is a PLAIN f32 sum
-    (32 * p < 2^17, exact) — the caller host-sums in f64 (exact to 2^53)
+    Per-lane sums are lazy in [0, 2p); the KB=32 group reduce is a PLAIN
+    f32 sum (32 * 2p < 2^17, exact) — the caller host-sums in f64 (exact
+    to 2^53)
     and reduces mod p once.
 
     alive: (B, L) f32 1/0 mask of live lanes.  Sentinel lanes are NOT
@@ -377,7 +403,7 @@ def _mod_partials_jit(r_arr, x, aux, colst, alive, *, use_u16: bool,
             bx, baux, bal = args
             out = call(r_arr, bx, baux, colst)
             out = out * bal[:, None, :]          # mask, then exact sum
-            return jnp.sum(out, axis=0)          # exact: KB * p < 2^24
+            return jnp.sum(out, axis=0)          # exact: KB * 2p < 2^17
 
         return lax.map(one_group, (x.reshape(G, KB, n_pad, L),
                                    aux.reshape(G, KB, 3, L),
@@ -440,7 +466,7 @@ def mod_partials(ids_blocks: np.ndarray, x0v, cols, colst, p: int, *,
     use_u16 = bool(r >= 5 and not interpret)
     u = min(5, r - 1) if use_u16 else 4
     allow_multi = (r + int(np.log2(max(L, 1))) + 5) <= 33
-    invp = np.float32(1.0) / np.float32(p)
+    invp = _invp_down(p)
     idsj = jnp.asarray(ids_blocks, jnp.int32)
     x, aux = chunk_init_mod(idsj, jnp.asarray(x0v), jnp.asarray(cols),
                             jnp.float32(p), invp, n=n, n_pad=n_pad,
@@ -466,6 +492,14 @@ def perman_core_mod(core, p: int, *, ids=None, r=None, lanes: int = 512,
     _perman_mod_host / the native sup_perman_mod bit for bit in Z_p.
     """
     n = len(core)
+    if p > PRIME_CEIL or p < 3:
+        # the lazy [0, 2p) walk is EXACT only while (2p)^2 < 2^24; a
+        # larger modulus would round products silently — and the CRT
+        # held-out verifier could NOT catch it (the same wrong f32
+        # arithmetic runs for every prime), so this must be a hard error
+        raise ValueError(
+            f"perman_core_mod: p={p} outside [3, {PRIME_CEIL}] — lazy "
+            f"residue products must stay exact f32 integers")
     if n == 0:
         return 1 % p
     if n == 1:

@@ -23,9 +23,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(12345)
+@pytest.fixture()
+def rng(request):
+    """Per-test deterministic generator, seeded from the test's own id.
+
+    The old session-scoped stream made every test's matrices depend on
+    how many draws ran BEFORE it — adding one test anywhere reshuffled
+    every later test's inputs, and matrix-conditional assertions
+    (hybrid-path meta, tolerance checks) flaked a test file away from
+    the edit (round-4: test_hybrid_mesh_checkpoint_combo KeyError from a
+    new test in test_exact.py).  Seeding by test id makes each test's
+    inputs a pure function of itself."""
+    import zlib
+    return np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))
 
 
 def random_int_matrix(rng, n, density, vmax=4):

@@ -26,7 +26,7 @@ def _rand_int_matrix(rng, n, density=1.0, hi=50):
 def test_dense_mod_walk_matches_host_twin(rng):
     for n in (2, 3, 5, 8, 13):
         m = _rand_int_matrix(rng, n, density=0.7)
-        for p in (4093, 251):
+        for p in (modp.PRIME_CEIL, 251):
             assert (modp.perman_core_mod(m, p, interpret=True)
                     == _perman_mod_host(m, p))
 
@@ -42,7 +42,7 @@ def test_pruned_mod_walk_matches_exact_dfs(rng):
                 ids = modp._live_exact(a2, r)
                 if ids is None:
                     continue
-                for p in (4093, 1009):
+                for p in (modp.PRIME_CEIL, 1009):
                     assert (modp.perman_core_mod(m, p, ids=ids, r=r,
                                                  interpret=True)
                             == exact % p)
@@ -62,7 +62,7 @@ def test_live_exact_keeps_every_nonzero_term():
     exact = _perman_bigint_dfs(m)
     a2 = modp._doubled_object(m)
     ids = modp._live_exact(a2, 1)
-    p = 4093
+    p = modp.PRIME_CEIL
     got = modp.perman_core_mod(m, p, ids=ids, r=1, interpret=True) \
         if ids is not None else modp.perman_core_mod(m, p, interpret=True)
     assert got == exact % p
@@ -109,12 +109,12 @@ def test_u16_walk_bitwise_matches_scalar(rng):
     from superman_tpu.ops import gray
     from superman_tpu.parallel.sharding import pad_ids
 
-    n, p, L = 11, 4093, 128
+    n, p, L = 11, modp.PRIME_CEIL, 128
     m = _rand_int_matrix(rng, n, hi=60)
     am = modp.reduce_core_mod(m, p)
     n_pad = gray.pad_n(n)
     x0v, cols, colst = modp.pack_mod(am, p, n_pad)
-    invp = np.float32(1.0) / np.float32(p)
+    invp = modp._invp_down(p)
     ct = jnp.asarray(colst)
     for r in (6, 8):
         ids = np.arange(1 << (n - 1 - r), dtype=np.int64)
@@ -181,7 +181,7 @@ def test_sentinel_lanes_masked_when_npad_equals_n(rng):
     CRT held-out verifier cannot catch it and the 'exact' engine would
     certify a wrong permanent.  mod_partials must mask per lane before
     the group reduce."""
-    n, p = 16, 4093
+    n, p = 16, modp.PRIME_CEIL
     m = _rand_int_matrix(rng, n)
     ref = _perman_mod_host(m, p)
     ids = np.arange(1 << 11, dtype=np.int64)
@@ -230,5 +230,39 @@ def test_deep_r_plans_capped_under_launch_watchdog():
     import pytest as _pytest
     dummy = np.zeros((1, 512), dtype=np.int32)
     with _pytest.raises(ValueError, match="watchdog"):
-        modp.mod_partials(dummy, None, None, None, 4093, n=40, n_pad=40,
+        modp.mod_partials(dummy, None, None, None, modp.PRIME_CEIL, n=40, n_pad=40,
                           r=modp._R_CAP + 1, interpret=False)
+
+
+def test_prime_ceiling_guarded(rng):
+    """Lazy residues are exact only while (2p)^2 < 2^24: a modulus above
+    PRIME_CEIL must be a hard error, because rounded products would be
+    the SAME wrong value for every prime — invisible to the CRT
+    held-out verifier."""
+    m = _rand_int_matrix(rng, 5)
+    with pytest.raises(ValueError, match="lazy"):
+        modp.perman_core_mod(m, 4093, interpret=True)
+    assert modp.PRIME_CEIL < 2048
+    assert all(q <= modp.PRIME_CEIL for q in modp.primes_mod(20))
+
+
+def test_invp_down_never_overestimates():
+    """floor(v * invp_down(p)) <= floor(v/p) for EVERY exact-f32 product
+    v < 4p^2 and the residue stays < 2p — exhaustive over the worst
+    (largest) primes and edge v values."""
+    for p in modp.primes_mod(3) + [3, 5]:
+        inv = float(modp._invp_down(p))
+        assert inv < 1.0 / p
+        vs = np.concatenate([
+            np.arange(0, 5 * p, p // 2 + 1),             # small
+            (np.arange(1, 4 * p, max(1, p // 7)) * p),   # exact multiples
+            (np.arange(1, 4 * p, max(1, p // 7)) * p - 1),
+            (np.arange(1, 4 * p, max(1, p // 7)) * p + 1),
+            np.asarray([4 * p * p - 1, 4 * p * p - p, 0, 1, p - 1]),
+        ]).astype(np.int64)
+        vs = vs[(vs >= 0) & (vs < 4 * p * p)]
+        vf = vs.astype(np.float32)
+        q = np.floor(vf * np.float32(inv)).astype(np.int64)
+        rr = vs - q * p
+        assert (q <= vs // p).all()
+        assert (rr >= 0).all() and (rr < 2 * p).all(), (p, rr.min(), rr.max())

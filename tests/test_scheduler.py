@@ -115,10 +115,19 @@ def test_failure_retry_then_abort(rng, monkeypatch):
         sp.permanent(a, calc="df64", chunk_log2=6, lanes=256, hybrid=True)
 
 
-def test_hybrid_mesh_checkpoint_combo(rng, tmp_path):
+def test_hybrid_mesh_checkpoint_combo(tmp_path):
     """All distribution features at once: 4-device mesh, hybrid unit
-    queue, checkpoint journal, sparse pruning."""
-    a = random_int_matrix(rng, 21, 0.35, vmax=2)
+    queue, checkpoint journal, sparse pruning.
+
+    Deterministic local rng + a nonzero diagonal: the session rng made
+    this test's matrix depend on every test added before it, and a
+    matrix with an empty row/col takes ryser_exact's legitimate
+    trivial-zero early-out, which (correctly) never reaches the hybrid
+    scheduler — so meta['hybrid'] asserts here require a structurally
+    nonzero matrix."""
+    lrng = np.random.default_rng(2024)
+    a = random_int_matrix(lrng, 21, 0.35, vmax=2)
+    np.fill_diagonal(a, lrng.integers(1, 3, 21))
     ck = str(tmp_path / "combo.jsonl")
     ref = sp.permanent(a, calc="df64", chunk_log2=6, lanes=128)
     got = sp.permanent(a, calc="df64", chunk_log2=6, lanes=128,

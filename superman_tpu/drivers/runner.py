@@ -309,8 +309,12 @@ def _run_auto(dm: DenseMatrix, flags: Flags, mesh) -> Result:
     # companion walk (the other ~1x of walk cost) cannot change the
     # decision — skip it.  The probe's heavy-tail low bias is why the
     # margin is TARGET/8, not TARGET; escalation candidates always run
-    # the companion measurement.
-    if probe_err < TARGET / 8.0:
+    # the companion measurement.  A NON-FINITE amp (every probe sample
+    # hit a zero factor -> -inf, or a term overflowed f64 -> +inf) is a
+    # FAILED measurement, not a zero-error prediction — such inputs must
+    # fall through to the companion walk that drove escalation before
+    # this fast path existed (round-4 review finding #1).
+    if np.isfinite(amp_l2) and probe_err < TARGET / 8.0:
         res.meta["auto"] = {"escalated": None,
                             "df64_err_est": float(f"{probe_err:.2e}"),
                             "err_est": float(f"{probe_err:.2e}"),

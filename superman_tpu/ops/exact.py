@@ -281,10 +281,14 @@ def exact_cost_estimate(a: np.ndarray,
         # (round-3 advisor finding).
         if not _tpu_backend():
             return math.inf, npr, n
+        from .modp import PRIME_CEIL, tpu_cost_estimate
+        # prime count must match the engine being priced: the TPU walk
+        # uses <=11-bit primes (~5.5x more walks than the native 61-bit
+        # count computed above — round-4 review finding #4)
+        npr = max(1, math.ceil(bits / math.log2(PRIME_CEIL))) + 1
         secs = max(secs, _TPU_FIXED_S)
         if budget_s is not None and budget_s <= _TPU_FIXED_S:
             return secs, npr, n     # already over budget; skip the plan
-        from .modp import tpu_cost_estimate
         return tpu_cost_estimate(core, bits) + _TPU_FIXED_S, npr, n
     if (secs > _TPU_CROSSOVER_S and _tpu_backend()
             and (budget_s is None or budget_s > _TPU_FIXED_S)):

@@ -453,6 +453,12 @@ def mod_partials(ids_blocks: np.ndarray, x0v, cols, colst, p: int, *,
             total += mod_partials(gb, x0v, cols, colst, p, n=n,
                                   n_pad=n_pad, r=r, interpret=interpret)
             wall = time.perf_counter() - t0
+            # the key was registered by the DIRECT branch below iff this
+            # shape actually launched (a shrinking cap can make the
+            # recursive call re-split, in which case no shape-(g,...)
+            # program ran and its wall is compile-dominated — treating
+            # it as warm would poison the measured rate; round-4 review
+            # finding #3)
             if key in _WARM_KEYS and wall > 0.25:
                 _RATE_ITERS_S = gb.shape[0] * per_block / wall
                 if not g_adjusted:
@@ -460,7 +466,6 @@ def mod_partials(ids_blocks: np.ndarray, x0v, cols, colst, p: int, *,
                     g2 = 1 << (int(g2).bit_length() - 1)
                     if g2 != g:
                         g, g_adjusted = g2, True
-            _WARM_KEYS.add(key)
             i += gb.shape[0]
         return float(total)
     use_u16 = bool(r >= 5 and not interpret)
@@ -478,7 +483,11 @@ def mod_partials(ids_blocks: np.ndarray, x0v, cols, colst, p: int, *,
                             jnp.asarray(colst), alive, use_u16=use_u16,
                             u=u, interpret=interpret,
                             allow_multi=allow_multi)
-    return float(np.asarray(out[:, 0, :], dtype=np.float64).sum())
+    total = float(np.asarray(out[:, 0, :], dtype=np.float64).sum())
+    # this shape has now genuinely launched: the block-group splitter
+    # above may time the NEXT same-shaped group as warm
+    _WARM_KEYS.add((B, n_pad, L, r))
+    return total
 
 
 # ------------------------------------------------------------ the driver
@@ -680,7 +689,8 @@ def crt_perman_core(core, *, lanes: int = 512, interpret=None,
 
     The integer twin of ops/exact.perman_exact_fraction's native_mod
     backend, for cores past the single-core CPU frontier (n ~ 33):
-    residues come from `perman_core_mod` (12-bit primes, f32 VPU walks),
+    residues come from `perman_core_mod` (<=11-bit primes, lazy-residue
+    f32 VPU walks),
     the live-chunk plan is computed ONCE in exact bigint arithmetic and
     shared by every prime, and a held-out verification prime certifies
     the reconstruction end to end — a kernel or CRT bug cannot return

@@ -32,12 +32,22 @@ def main(argv=None):
     out_path = args.out or os.path.join(ROOT, f"BENCH_r{args.n:02d}.json")
 
     cmd = "if [ -f bench.py ]; then python bench.py; else exit 0; fi"
-    proc = subprocess.run(["bash", "-c", cmd], cwd=ROOT,
-                          capture_output=True, text=True,
-                          timeout=args.timeout)
-    tail = (proc.stdout + proc.stderr)[-4000:]
+    try:
+        proc = subprocess.run(["bash", "-c", cmd], cwd=ROOT,
+                              capture_output=True, text=True,
+                              timeout=args.timeout)
+        rc, stdout, stderr = proc.returncode, proc.stdout, proc.stderr
+    except subprocess.TimeoutExpired as e:
+        # the known wedged-worker mode: bench hangs rather than erroring.
+        # Record it loudly (rc=-1) so the evidence guard can cite the
+        # failed capture instead of the tool crashing with no record.
+        rc = -1
+        stdout = (e.stdout or b"").decode(errors="replace") \
+            if isinstance(e.stdout, bytes) else (e.stdout or "")
+        stderr = f"capture_bench: bench.py hung past {args.timeout:.0f}s"
+    tail = (stdout + stderr)[-4000:]
     parsed = None
-    for line in proc.stdout.splitlines()[::-1]:
+    for line in stdout.splitlines()[::-1]:
         line = line.strip()
         if line.startswith("{"):
             try:
@@ -47,12 +57,12 @@ def main(argv=None):
             if "vs_baseline" in cand:
                 parsed = cand
                 break
-    rec = {"n": args.n, "cmd": cmd, "rc": proc.returncode,
+    rec = {"n": args.n, "cmd": cmd, "rc": rc,
            "tail": tail, "parsed": parsed}
     with open(out_path, "w") as f:
         json.dump(rec, f, indent=2)
-    ok = proc.returncode == 0 and parsed is not None
-    print(f"{os.path.basename(out_path)}: rc={proc.returncode} "
+    ok = rc == 0 and parsed is not None
+    print(f"{os.path.basename(out_path)}: rc={rc} "
           f"parsed={'yes' if parsed else 'NO'}"
           + (f" value={parsed['value']} vs_baseline={parsed['vs_baseline']}"
              if parsed else ""))

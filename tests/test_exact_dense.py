@@ -144,3 +144,24 @@ def test_sanity_net_respects_low_precision_tiers(rng):
     assert r.meta.get("compression_bailout") is None
     # tier contract still holds vs the exact value
     assert np.isclose(r.permanent, float(perman_brute(a)), rtol=1e-2)
+
+
+def test_auto_failed_probe_runs_companion():
+    """A NON-FINITE amplitude probe (every sample hits a zero factor ->
+    -inf) is a failed measurement, not a zero-error prediction: auto
+    must fall through to the f32k companion walk instead of returning
+    probe_only with a claimed zero error (round-4 review finding #1).
+    Fixed seed: 16 zero-row-sum [.., 1, -1, ..] rows make every probe
+    sample hit a zero factor (verified -inf for this construction)."""
+    from superman_tpu.drivers.runner import _amp_probe_log2
+
+    lrng = np.random.default_rng(5)
+    n = 20
+    a = np.zeros((n, n))
+    for i in range(16):
+        j = int(lrng.integers(0, n - 2))
+        a[i, j], a[i, j + 1] = 1.0, -1.0
+    a[16:, :] = lrng.integers(1, 9, (4, n)) * 1e8
+    assert not np.isfinite(_amp_probe_log2(a))
+    r = sp.permanent(a, calc="auto", chunk_log2=6, lanes=256)
+    assert r.meta["auto"].get("probe_only") is not True

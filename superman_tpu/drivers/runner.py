@@ -49,9 +49,10 @@ def run(dense: DenseMatrix, flags: Flags) -> Result:
         from .scale_driver import scale_and_calculate
         res = scale_and_calculate(dense, flags)
         # the scale driver reorganizes magnitudes just like compression
-        # (and may recurse into it) — same sanity net (measured escape:
-        # ex5_rs.mtx scaling off by 8e38 while every other config agreed;
-        # SUITE_REPORT_REAL.jsonl run 3)
+        # (and may recurse into it) — same sanity net (measured escape,
+        # round-3 session: ex5_rs.mtx scaling off by 8e38 while every
+        # other config agreed; lands in SUITE_REPORT_REAL.jsonl with the
+        # round-4 hardware recapture)
         return _compression_sanity(dense, flags, res)
     if flags.compression:
         from .compress_driver import compress_singleton_and_then_recurse
@@ -102,7 +103,8 @@ def _compression_sanity(dense: DenseMatrix, flags: Flags,
     # magnitude probe CANNOT see that failure mode: noise sits exactly at
     # amplitude scale, which is where per(|A|) sits too (measured:
     # d_ss.mtx, compression off by 4.3e11 yet only 38 bits above |per| —
-    # under the 60-bit alarm; SUITE_REPORT_REAL.jsonl).
+    # under the 60-bit alarm; pinned by test_d_ss_compression_rescued_by
+    # _exact and re-recorded in SUITE_REPORT_REAL.jsonl once captured).
     if a.shape[0] <= 100 and double_class:
         from ..bindings.native import native_available
         from ..ops.exact import (_float_of_fraction, exact_cost_estimate,
@@ -334,8 +336,8 @@ def _run_auto(dm: DenseMatrix, flags: Flags, mesh) -> Result:
         if est_tf96_err > TARGET:
             # even tf96 is predicted to miss: last rung is the exact CRT
             # engine (real-matrix cancellation can sit 100s of bits above
-            # ANY float tier — measured 2^280 on pores_1_r.mtx,
-            # SUITE_REPORT_REAL.jsonl) — when its cost estimate fits the
+            # ANY float tier — measured 2^280 on pores_1_r.mtx, pinned
+            # in EXACT_KNOWN.jsonl) — when its cost estimate fits the
             # budget.  Otherwise return tf96 FLAGGED: a self-reported
             # error bound beats the reference's silent noise.
             from ..ops.exact import exact_cost_estimate

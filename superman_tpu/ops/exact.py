@@ -99,7 +99,7 @@ def _fold_lines(m: List[List[int]]) -> Tuple[List[List[int]], int]:
     (d2compress, revised util.h:1260) — exact here in bigints, where the
     reference's f64 merges round and concentrate magnitude (the very
     effect that makes its compressed walks cancellation-bound on e.g.
-    d_ss.mtx; see SUITE_REPORT_REAL.jsonl).  Columns fold by transpose
+    d_ss.mtx; pinned in EXACT_KNOWN.jsonl).  Columns fold by transpose
     symmetry.  Entry bit-lengths grow under d2 merges; the CRT prime
     count scales with the bound, so exactness is never at risk.
     """

@@ -156,3 +156,40 @@ def test_exact_known_table_certified():
     assert rows["d_ss.mtx"]["value"] == rows["d_ss.mtxzero"]["value"]
     assert rows["ibm32.mtxzero"]["value"] == rows["ibm32_p.mtx"]["value"]
     assert rows["ibm32.mtxzero"]["value"] == 2398815.0
+
+
+def test_docs_cite_only_existing_artifacts():
+    """Round-3 postmortem: CLAUDE.md/README/runner.py cited
+    SUITE_REPORT_REAL.jsonl and SCALING_MEASURED.json as if they existed;
+    neither was ever committed (round-3 verdict 'What's weak' #3).  Every
+    artifact filename cited in the docs or package source must exist in
+    the tree, unless its line explicitly marks it as not-yet-landed
+    (queued/pending/blocked/lands/writes/once captured)."""
+    import re
+
+    pat = re.compile(
+        r"\b(SUITE_REPORT\w*\.jsonl|BENCH_r\d+\.json|MULTICHIP_r\d+\.json"
+        r"|SCALING_MEASURED\.json|EXACT_KNOWN\.jsonl"
+        r"|ACCURACY_REPORT\.jsonl|COPYCHECK\.json)\b")
+    markers = ("queued", "land", "pending", "blocked", "once captured",
+               "write", "--out", "default")
+    files = [p for p in glob.glob(os.path.join(ROOT, "*.md"))
+             # the judge's/advisor's own reports legitimately DISCUSS
+             # missing artifacts — only OUR docs are held to the rule
+             if os.path.basename(p) not in ("VERDICT.md", "ADVICE.md")] + [
+        p for p in glob.glob(os.path.join(ROOT, "superman_tpu", "**",
+                                          "*.py"), recursive=True)
+        if os.sep + "tools" + os.sep not in p]
+    offenders = []
+    for path in files:
+        with open(path, errors="replace") as f:
+            for ln, line in enumerate(f, 1):
+                for m in pat.finditer(line):
+                    if os.path.exists(os.path.join(ROOT, m.group(0))):
+                        continue
+                    if any(k in line.lower() for k in markers):
+                        continue
+                    offenders.append(
+                        f"{os.path.basename(path)}:{ln}: cites "
+                        f"{m.group(0)} which does not exist")
+    assert not offenders, offenders[:10]

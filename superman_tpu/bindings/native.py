@@ -49,6 +49,8 @@ def load() -> ctypes.CDLL:
         lib.sup_perman_mod.argtypes = [up64, I, U]
         lib.sup_perman_mod_batch.restype = None
         lib.sup_perman_mod_batch.argtypes = [up64, I, up64, I, I, up64]
+        lib.sup_perman_mod_pruned.restype = U
+        lib.sup_perman_mod_pruned.argtypes = [up64, I, U, ip64, LL, I, I]
         lib.read_calculate_return.restype = D
         lib.read_calculate_return.argtypes = [ctypes.c_char_p, I, I, I, I, I]
         lib.connect.restype = None
@@ -92,6 +94,21 @@ def perman_mod_batch(mats: np.ndarray, primes: np.ndarray,
     lib.sup_perman_mod_batch(mats, mats.shape[-1], ps, len(ps),
                              int(threads), out)
     return out
+
+
+def perman_mod_pruned(am: np.ndarray, p: int, ids: np.ndarray, r: int,
+                      threads: int = 0) -> int:
+    """per(am) mod p over the live chunks `ids` at chunk length 2^r.
+
+    The native twin of ops/modp.perman_core_mod's pruned walk (same
+    ids/r contract, ops/modp._live_exact); am pre-reduced into [0, p).
+    """
+    lib = load()
+    am = np.ascontiguousarray(am, dtype=np.uint64)
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    assert 1 <= int(r) <= 62
+    return int(lib.sup_perman_mod_pruned(am, am.shape[0], p, ids,
+                                         len(ids), int(r), int(threads)))
 
 
 def read_calculate_return(filename: str, algorithm: int, nt: int = 16,

@@ -514,6 +514,107 @@ void sup_perman_mod_batch(const uint64_t* mats, int n, const uint64_t* ps,
     out[i] = sup_perman_mod(mats + (size_t)i * n * n, n, ps[i]);
 }
 
+// Pruned-chunk Z_p walk: per(M) mod p summed over live chunks only.
+// Same ids/r contract as ops/modp.perman_core_mod — ids are chunk
+// indices in [0, 2^(n-1-r)), chunk `id` covering Gray positions
+// m in [id<<r, (id+1)<<r); chunks absent from ids must be dead (some
+// row's walk value is 0 throughout the chunk, ops/modp._live_exact),
+// so the live sum IS per(M) mod p.  This is the CPU twin of the TPU
+// lazy-residue walk with 61-bit Montgomery arithmetic instead of
+// 11-bit f32 residues: a CRT needs ~5.5x fewer walks per bound bit,
+// which is what makes chesapeake-class cores reachable on a host when
+// no TPU is attached.  Requires odd p < 2^62 and 1 <= r <= 62.
+uint64_t sup_perman_mod_pruned(const uint64_t* a, int n, uint64_t p,
+                               const int64_t* ids, long long nids, int r,
+                               int threads) {
+  if (n <= 0) return 1 % p;
+  if (n == 1) return a[0] % p;
+  if (ids == nullptr) return sup_perman_mod(a, n, p);
+  if (nids == 0) return 0;
+  const Mont mg(p);
+  const uint64_t inv2 = mg.to((p + 1) / 2);
+  std::vector<uint64_t> x0(n), colp((size_t)(n - 1) * n), colm;
+  for (int j = 0; j < n; j++) {
+    uint64_t rs = 0;
+    for (int k = 0; k < n; k++) {
+      rs += mg.to(a[j * n + k]);
+      if (rs >= p) rs -= p;
+    }
+    uint64_t v = mg.to(a[j * n + (n - 1)]) + p - mg.mul(rs, inv2);
+    x0[j] = v >= p ? v - p : v;
+  }
+  for (int k = 0; k < n - 1; k++)
+    for (int j = 0; j < n; j++)
+      colp[(size_t)k * n + j] = mg.to(a[j * n + k]);
+  colm.resize(colp.size());
+  for (size_t i = 0; i < colp.size(); i++)
+    colm[i] = colp[i] ? p - colp[i] : 0;
+
+  threads = pick_threads(threads);
+  const uint64_t one_m = mg.to(1);
+  const uint64_t steps = 1ull << r;
+  uint64_t acc = 0;
+  std::atomic<long long> next(0);
+#pragma omp parallel num_threads(threads)
+  {
+    std::vector<uint64_t> x(n);
+    uint64_t lacc = 0;
+    for (;;) {
+      const long long ci = next.fetch_add(1, std::memory_order_relaxed);
+      if (ci >= nids) break;
+      // cold-start the chunk at base = id<<r: x(base) = x0 + the
+      // gray(base)-masked column sum (base is even for r >= 1, so the
+      // first term's sign is +)
+      const uint64_t base = (uint64_t)ids[ci] << r;
+      const uint64_t g0 = base ^ (base >> 1);
+      for (int j = 0; j < n; j++) x[j] = x0[j];
+      for (int k = 0; k < n - 1; k++)
+        if ((g0 >> k) & 1ull) {
+          const uint64_t* c = &colp[(size_t)k * n];
+          for (int j = 0; j < n; j++) {
+            uint64_t v = x[j] + c[j];
+            x[j] = v >= p ? v - p : v;
+          }
+        }
+      uint64_t prod = one_m;
+      for (int j = 0; j < n; j++) prod = mg.mul(prod, x[j]);
+      lacc += prod;
+      if (lacc >= p) lacc -= p;
+      for (uint64_t t = 1; t < steps; t++) {
+        // global m = base + t: ctz(m) == ctz(t) (base's low r bits are
+        // 0), term sign (-1)^m == (-1)^t, and the +/- column choice
+        // needs the GLOBAL gray bit (at k == r-1 it depends on id's
+        // parity — modp._walk_mod_scalar's smid row)
+        const uint64_t m = base + t;
+        const int k = __builtin_ctzll(t);
+        const uint64_t g = m ^ (m >> 1);
+        const uint64_t* c = ((g >> k) & 1ull) ? &colp[(size_t)k * n]
+                                              : &colm[(size_t)k * n];
+        uint64_t pr = one_m;
+        for (int j = 0; j < n; j++) {
+          uint64_t xv = x[j] + c[j];
+          if (xv >= p) xv -= p;
+          x[j] = xv;
+          pr = mg.mul(pr, xv);
+        }
+        lacc += (t & 1) ? p - pr : pr;
+        if (lacc >= p) lacc -= p;
+      }
+    }
+    // modular merge (a plain + reduction could overflow u64 for many
+    // threads: each lacc < p ~ 2^61)
+#pragma omp critical
+    {
+      acc += lacc;
+      if (acc >= p) acc -= p;
+    }
+  }
+  acc += acc;
+  if (acc >= p) acc -= p;
+  if (!(n & 1)) acc = acc ? p - acc : 0;
+  return mg.from(acc);
+}
+
 // -------------------------------------------------------- approximation
 
 // Rasmussen estimator (min-degree heuristic), binary support matrix.

@@ -239,6 +239,11 @@ _TPU_CROSSOVER_S = 300.0
 #: fixed TPU overhead charged in estimates: Mosaic compiles + packing
 _TPU_FIXED_S = 120.0
 
+#: dense-native cost above which the CPU path pays for a pruned plan
+#: (core_plan: host bigint liveness, seconds-minutes) and runs the
+#: checkpointed CRT pipeline instead of the flat batch walk
+_NATIVE_PLAN_FLOOR_S = 60.0
+
 
 def _tpu_backend() -> bool:
     try:
@@ -294,6 +299,16 @@ def exact_cost_estimate(a: np.ndarray,
             and (budget_s is None or budget_s > _TPU_FIXED_S)):
         from .modp import tpu_cost_estimate
         secs = min(secs, tpu_cost_estimate(core, bits) + _TPU_FIXED_S)
+    if (secs > _NATIVE_PLAN_FLOOR_S and native_available()
+            and (budget_s is None or budget_s > _NATIVE_PLAN_FLOOR_S)):
+        # pruned-native price: the plan is cached by core fingerprint,
+        # so the run (perman_exact_fraction -> crt_perman_core
+        # backend="native") reuses exactly the plan priced here
+        from .modp import core_plan
+        pl_ = core_plan(core)
+        if pl_ is not None:
+            live_iters = len(pl_[1]) << pl_[2]
+            secs = min(secs, npr * live_iters * n * 6e-9)
     return secs, npr, n
 
 
@@ -348,6 +363,19 @@ def perman_exact_fraction(a: np.ndarray, threads: int = 0,
             per_core, tmeta = crt_perman_core(
                 core, log=log, checkpoint_path=checkpoint_path)
             meta.update(engine="tpu_mod", nprimes=tmeta["nprimes"],
+                        bound_bits=tmeta["bound_bits"],
+                        live_frac=tmeta["live_frac"])
+        elif (engine == "native" and native_available() and nc >= 2
+              and (need + 1) * (1 << max(0, nc - 1)) * nc * 6e-9
+              > _NATIVE_PLAN_FLOOR_S):
+            # big core on the CPU: run the full pruned-plan CRT pipeline
+            # (checkpointed, held-out-verified) — the dense batch below
+            # would walk the whole 2^(nc-1) index space per prime
+            from .modp import crt_perman_core
+            per_core, tmeta = crt_perman_core(
+                core, backend="native", threads=threads, log=log,
+                checkpoint_path=checkpoint_path)
+            meta.update(engine="native_mod_crt", nprimes=tmeta["nprimes"],
                         bound_bits=tmeta["bound_bits"],
                         live_frac=tmeta["live_frac"])
         else:

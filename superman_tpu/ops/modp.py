@@ -684,8 +684,16 @@ def tpu_cost_estimate(core, bound_bits: float) -> float:
 
 
 def crt_perman_core(core, *, lanes: int = 512, interpret=None,
-                    log=None, checkpoint_path=None):
+                    log=None, checkpoint_path=None, backend: str = "tpu",
+                    threads: int = 0):
     """EXACT ``per(core)`` of a bigint core, CRT over TPU Z_p walks.
+
+    backend="native" runs the SAME plan/CRT/verifier/checkpoint pipeline
+    with the native CPU engine's 61-bit Montgomery walks
+    (sup_perman_mod_pruned) instead of the 11-bit TPU lazy-residue
+    kernel: ~5.5x fewer walks per bound bit, no Mosaic compiles — the
+    exactness path when no TPU is attached (chesapeake-class cores are
+    ~2 h on one host core with the pruned plan vs ~2 CPU-days dense).
 
     The integer twin of ops/exact.perman_exact_fraction's native_mod
     backend, for cores past the single-core CPU frontier (n ~ 33):
@@ -708,12 +716,13 @@ def crt_perman_core(core, *, lanes: int = 512, interpret=None,
     """
     import json
     import os
-    from .exact import _is_prime_u64, _log2_bound
+    from .exact import _is_prime_u64, _log2_bound, _PRIME_CEIL
     t0 = time.perf_counter()
     n = len(core)
     fp = core_fingerprint(core)
     bits = _log2_bound(core) + 3
-    need_primes, cov, c = [], 0.0, PRIME_CEIL
+    ceil_p = PRIME_CEIL if backend == "tpu" else _PRIME_CEIL
+    need_primes, cov, c = [], 0.0, ceil_p
     while cov < bits or not need_primes:
         while not _is_prime_u64(c):
             c -= 2
@@ -741,13 +750,26 @@ def crt_perman_core(core, *, lanes: int = 512, interpret=None,
         work = [[core[i][j] for j in col_perm] for i in range(n)]
     else:
         work, ids, r, live_frac = core, None, None, 1.0
+    if backend != "tpu":
+        from ..bindings.native import perman_mod_batch, perman_mod_pruned
+
+        def _residue(p):
+            am = np.asarray([[int(v) % p for v in row] for row in work],
+                            dtype=np.uint64)
+            if ids is None:
+                return int(perman_mod_batch(
+                    am[None], np.asarray([p], np.uint64), threads)[0])
+            return perman_mod_pruned(am, p, ids, r, threads)
+    else:
+        def _residue(p):
+            return perman_core_mod(work, p, ids=ids, r=r,
+                                   lanes=lanes, interpret=interpret)
     residues = []
     for i, p in enumerate(need_primes + [verifier]):
         if p in known:
             residues.append(known[p])
             continue
-        residues.append(perman_core_mod(work, p, ids=ids, r=r,
-                                        lanes=lanes, interpret=interpret))
+        residues.append(_residue(p))
         if checkpoint_path:
             with open(checkpoint_path, "a") as f:
                 f.write(json.dumps({"p": p, "res": residues[-1],
@@ -766,7 +788,8 @@ def crt_perman_core(core, *, lanes: int = 512, interpret=None,
         raise AssertionError(
             "tpu_mod CRT verification prime mismatch — modular walk or "
             "reconstruction is broken")
-    meta = {"engine": "tpu_mod", "nprimes": len(need_primes),
+    meta = {"engine": "tpu_mod" if backend == "tpu" else "native_mod_crt",
+            "nprimes": len(need_primes),
             "bound_bits": round(bits, 1), "live_frac": live_frac,
             "r": r, "wall_s": time.perf_counter() - t0}
     return X, meta

@@ -121,6 +121,84 @@ def test_native_mod_batch_matches_single(rng):
                                np.uint64(p)))
 
 
+@pytest.mark.skipif(not native.native_available(), reason="no native lib")
+def test_native_mod_pruned_full_coverage_matches_dense(rng):
+    # a dense id set at any r must reproduce the one-shot walk exactly
+    prs = [exact.primes_desc(1)[0], 997]
+    for n in (6, 10, 13):
+        m = [[int(v) for v in row]
+             for row in _rand_signed_int(rng, n, vmax=6)]
+        for p in prs:
+            red = np.array([[v % p for v in row] for row in m],
+                           dtype=np.uint64)
+            want = exact._perman_mod_host(m, p)
+            for r in (1, 3, n - 2):
+                ids = np.arange(1 << (n - 1 - r), dtype=np.int64)
+                assert native.perman_mod_pruned(red, p, ids, r) == want
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no native lib")
+def test_native_mod_pruned_live_mask(rng):
+    # genuinely pruned ids from the exact bigint liveness mask
+    # (ops/modp._live_exact): dead chunks contribute nothing, so the
+    # live-chunk sum IS the full permanent mod p
+    from superman_tpu.ops import modp
+    prs = [exact.primes_desc(1)[0], 997]
+    tested = 0
+    for _ in range(12):
+        n = int(rng.integers(10, 14))
+        a = _rand_signed_int(rng, n, vmax=4, density=0.35)
+        m = [[int(v) for v in row] for row in a]
+        a2 = modp._doubled_object(m)
+        for r in (2, 4):
+            ids = modp._live_exact(a2, r)
+            if ids is None or len(ids) == (1 << (n - 1 - r)):
+                continue
+            for p in prs:
+                red = np.array([[v % p for v in row] for row in m],
+                               dtype=np.uint64)
+                got = native.perman_mod_pruned(red, p, np.asarray(ids), r)
+                assert got == exact._perman_mod_host(m, p)
+            tested += 1
+    assert tested >= 3        # the density above always yields pruned cases
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no native lib")
+def test_crt_native_backend_end_to_end(rng, tmp_path):
+    # the native-backend CRT pipeline (plan + 61-bit walks + held-out
+    # verifier + per-prime checkpoint) returns the exact integer
+    # permanent, and a rerun reuses every checkpointed residue
+    from superman_tpu.ops import modp
+    n = 12
+    a = _rand_signed_int(rng, n, vmax=5, density=0.4)
+    m = [[int(v) for v in row] for row in a]
+    want = exact._perman_bigint_dfs(m)
+    ck = str(tmp_path / "ck.jsonl")
+    per, meta = modp.crt_perman_core(m, backend="native",
+                                     checkpoint_path=ck)
+    assert per == want
+    assert meta["engine"] == "native_mod_crt"
+    walked = []
+    per2, _ = modp.crt_perman_core(m, backend="native",
+                                   checkpoint_path=ck,
+                                   log=walked.append)
+    assert per2 == want
+    assert not any("prime" in s for s in walked)   # all residues reused
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no native lib")
+def test_exact_fraction_routes_big_native_core_to_crt(rng, monkeypatch):
+    # past _NATIVE_PLAN_FLOOR_S the native engine must take the
+    # checkpointed pruned-CRT pipeline, not the flat dense batch
+    monkeypatch.setattr(exact, "_NATIVE_PLAN_FLOOR_S", 1e-9)
+    a = _rand_signed_int(rng, 12, vmax=3, density=0.45)
+    frac, meta = exact.perman_exact_fraction(a, engine="native")
+    want = exact._perman_bigint_dfs([[int(v) for v in row] for row in a])
+    assert frac == Fraction(want)
+    if meta["core_n"]:
+        assert meta["engine"] == "native_mod_crt"
+
+
 def test_host_mod_matches_bigint(rng):
     prs = exact.primes_desc(2)
     for n in (1, 2, 3, 6, 9):

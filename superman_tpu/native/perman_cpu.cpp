@@ -514,6 +514,207 @@ void sup_perman_mod_batch(const uint64_t* mats, int n, const uint64_t* ps,
     out[i] = sup_perman_mod(mats + (size_t)i * n * n, n, ps[i]);
 }
 
+// ---------------------------------------------- AVX-512 IFMA fast path
+//
+// 8-lane Montgomery walk in base 2^52 (VPMADD52): each SIMD lane walks
+// an independent live chunk of the SAME prime, mirroring the TPU
+// kernel's lane layout (ops/modp.py packs chunks across VPU lanes the
+// same way).  Per 52-bit prime the CRT loses ~15% bits vs the scalar
+// 61-bit walk but each Gray step runs ~8 lanes x fewer ops — measured
+// ~10-20x walk throughput on IFMA hosts, which moves cage5_c2-class
+// dense cores (2110-bit bound) into CPU range.  Requires p < 2^52.
+
+#if defined(__x86_64__)
+#define SUP_HAVE_IFMA_BUILD 1
+#include <immintrin.h>
+
+namespace {
+
+constexpr uint64_t MASK52 = ((uint64_t)1 << 52) - 1;
+
+struct Mont52 {                       // Montgomery base R = 2^52
+  uint64_t p, ninv, r2;               // ninv = -p^-1 mod 2^52
+  explicit Mont52(uint64_t p_) : p(p_) {
+    uint64_t inv = p_;                 // Newton: p^-1 mod 2^64 (p odd)
+    for (int i = 0; i < 6; i++) inv *= 2 - p_ * inv;
+    ninv = (0 - inv) & MASK52;
+    unsigned __int128 r1 = ((unsigned __int128)1 << 52) % p_;
+    r2 = (uint64_t)((r1 * r1) % p_);   // 2^104 mod p
+  }
+  uint64_t redc(unsigned __int128 t) const {
+    uint64_t m = ((uint64_t)t * ninv) & MASK52;
+    uint64_t r = (uint64_t)((t + (unsigned __int128)m * p) >> 52);
+    return r >= p ? r - p : r;
+  }
+  uint64_t mul(uint64_t a, uint64_t b) const {
+    return redc((unsigned __int128)a * b);
+  }
+  uint64_t to(uint64_t a) const { return mul(a, r2); }
+  uint64_t from(uint64_t a) const { return redc(a); }
+};
+
+__attribute__((target("avx512f,avx512ifma")))
+inline __m512i mulmod52(__m512i a, __m512i b, __m512i vp, __m512i vninv,
+                        __m512i vzero, __m512i vone) {
+  // lanewise Montgomery product, inputs/outputs in [0, p)
+  __m512i lo = _mm512_madd52lo_epu64(vzero, a, b);
+  __m512i hi = _mm512_madd52hi_epu64(vzero, a, b);
+  __m512i m = _mm512_madd52lo_epu64(vzero, lo, vninv);
+  __m512i mphi = _mm512_madd52hi_epu64(vzero, m, vp);
+  // low52(m*p) == (2^52 - lo) mod 2^52, so the low-half carry out of
+  // lo + low52(m*p) is exactly (lo != 0) — the low IFMA is never needed
+  __mmask8 carry = _mm512_cmpneq_epu64_mask(lo, vzero);
+  __m512i r = _mm512_add_epi64(hi, mphi);
+  r = _mm512_mask_add_epi64(r, carry, r, vone);
+  __mmask8 ge = _mm512_cmpge_epu64_mask(r, vp);
+  return _mm512_mask_sub_epi64(r, ge, r, vp);
+}
+
+__attribute__((target("avx512f,avx512ifma")))
+inline __m512i addmod52(__m512i x, __m512i c, __m512i vp) {
+  __m512i s = _mm512_add_epi64(x, c);
+  __mmask8 ge = _mm512_cmpge_epu64_mask(s, vp);
+  return _mm512_mask_sub_epi64(s, ge, s, vp);
+}
+
+constexpr int IFMA_MAX_N = 64;        // stack x buffer; larger cores
+                                      // fall back to the scalar walk
+
+__attribute__((target("avx512f,avx512ifma")))
+uint64_t perman_mod_pruned_ifma(const uint64_t* a, int n, uint64_t p,
+                                const int64_t* ids, long long nids, int r,
+                                int threads) {
+  const Mont52 mg(p);
+  const uint64_t inv2 = mg.to((p + 1) / 2);
+  std::vector<uint64_t> x0(n), colp((size_t)(n - 1) * n), colm;
+  for (int j = 0; j < n; j++) {
+    uint64_t rs = 0;
+    for (int k = 0; k < n; k++) {
+      rs += mg.to(a[j * n + k]);
+      if (rs >= p) rs -= p;
+    }
+    uint64_t v = mg.to(a[j * n + (n - 1)]) + p - mg.mul(rs, inv2);
+    x0[j] = v >= p ? v - p : v;
+  }
+  for (int k = 0; k < n - 1; k++)
+    for (int j = 0; j < n; j++)
+      colp[(size_t)k * n + j] = mg.to(a[j * n + k]);
+  colm.resize(colp.size());
+  for (size_t i = 0; i < colp.size(); i++)
+    colm[i] = colp[i] ? p - colp[i] : 0;
+
+  threads = pick_threads(threads);
+  const uint64_t one_s = mg.to(1);
+  const uint64_t steps = 1ull << r;
+  const long long nbatch = (nids + 7) / 8;
+  uint64_t acc_total = 0;
+  std::atomic<long long> next(0);
+#pragma omp parallel num_threads(threads)
+  {
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i vninv = _mm512_set1_epi64((long long)mg.ninv);
+    const __m512i vzero = _mm512_setzero_si512();
+    const __m512i vone = _mm512_set1_epi64(1);
+    const __m512i vone_m = _mm512_set1_epi64((long long)one_s);
+    alignas(64) uint64_t xbuf[IFMA_MAX_N][8];
+    alignas(64) uint64_t lanes[8];
+    uint64_t lacc = 0;
+    for (;;) {
+      const long long b = next.fetch_add(1, std::memory_order_relaxed);
+      if (b >= nbatch) break;
+      const int used = (int)std::min<long long>(8, nids - b * 8);
+      // per-lane cold start at base = id<<r (pad lanes duplicate lane 0;
+      // their accs are never read)
+      __mmask8 midflip = 0;            // lanes whose id is ODD: at the
+                                       // chunk midpoint (k == r-1) the
+                                       // global gray bit is 1 ^ (id&1)
+      for (int l = 0; l < 8; l++) {
+        const int64_t id = ids[b * 8 + (l < used ? l : 0)];
+        if ((id & 1) && l < used) midflip |= (__mmask8)(1u << l);
+        const uint64_t base = (uint64_t)id << r;
+        const uint64_t g0 = base ^ (base >> 1);
+        for (int j = 0; j < n; j++) xbuf[j][l] = x0[j];
+        for (int k = 0; k < n - 1; k++)
+          if ((g0 >> k) & 1ull)
+            for (int j = 0; j < n; j++) {
+              uint64_t v = xbuf[j][l] + colp[(size_t)k * n + j];
+              xbuf[j][l] = v >= p ? v - p : v;
+            }
+      }
+      // first term (m = base, even for r >= 1: sign +)
+      __m512i prod = vone_m;
+      for (int j = 0; j < n; j++)
+        prod = mulmod52(prod, _mm512_load_si512((const void*)xbuf[j]),
+                        vp, vninv, vzero, vone);
+      __m512i acc = prod;
+      for (uint64_t t = 1; t < steps; t++) {
+        const int k = __builtin_ctzll(t);
+        const uint64_t gt = t ^ (t >> 1);
+        // mid-step (k == r-1, t == 2^(r-1)): per-lane direction; all
+        // other steps share one scalar direction (gray bits below r-1
+        // come from t alone — base's low r bits are 0)
+        const bool mid = (k == r - 1);
+        const uint64_t* cp = &colp[(size_t)k * n];
+        const uint64_t* cm = &colm[(size_t)k * n];
+        const uint64_t* csel = ((gt >> k) & 1ull) ? cp : cm;
+        __m512i p0 = vone_m, p1 = vone_m, p2 = vone_m, p3 = vone_m;
+        for (int j = 0; j < n; j++) {
+          __m512i cj;
+          if (mid) {
+            // even id: gray bit = 1 -> +col; odd id: -> -col
+            cj = _mm512_mask_blend_epi64(
+                midflip, _mm512_set1_epi64((long long)cp[j]),
+                _mm512_set1_epi64((long long)cm[j]));
+          } else {
+            cj = _mm512_set1_epi64((long long)csel[j]);
+          }
+          __m512i xj = _mm512_load_si512((const void*)xbuf[j]);
+          xj = addmod52(xj, cj, vp);
+          _mm512_store_si512((void*)xbuf[j], xj);
+          // 4 interleaved partial products hide the REDC latency chain
+          switch (j & 3) {
+            case 0: p0 = mulmod52(p0, xj, vp, vninv, vzero, vone); break;
+            case 1: p1 = mulmod52(p1, xj, vp, vninv, vzero, vone); break;
+            case 2: p2 = mulmod52(p2, xj, vp, vninv, vzero, vone); break;
+            default: p3 = mulmod52(p3, xj, vp, vninv, vzero, vone);
+          }
+        }
+        prod = mulmod52(mulmod52(p0, p1, vp, vninv, vzero, vone),
+                        mulmod52(p2, p3, vp, vninv, vzero, vone),
+                        vp, vninv, vzero, vone);
+        if (t & 1)                      // -prod mod p (prod < p)
+          prod = _mm512_sub_epi64(vp, prod);
+        acc = addmod52(acc, prod, vp);  // sums < 2p, one correction
+      }
+      _mm512_store_si512((void*)lanes, acc);
+      for (int l = 0; l < used; l++) {
+        lacc += lanes[l] >= p ? lanes[l] - p : lanes[l];  // -0 -> p case
+        if (lacc >= p) lacc -= p;
+      }
+    }
+#pragma omp critical
+    {
+      acc_total += lacc;
+      if (acc_total >= p) acc_total -= p;
+    }
+  }
+  acc_total += acc_total;
+  if (acc_total >= p) acc_total -= p;
+  if (!(n & 1)) acc_total = acc_total ? p - acc_total : 0;
+  return mg.from(acc_total);
+}
+
+}  // namespace
+
+extern "C" int sup_cpu_ifma() {
+  return __builtin_cpu_supports("avx512f")
+         && __builtin_cpu_supports("avx512ifma");
+}
+#else
+#define SUP_HAVE_IFMA_BUILD 0
+extern "C" int sup_cpu_ifma() { return 0; }
+#endif  // __x86_64__
+
 // Pruned-chunk Z_p walk: per(M) mod p summed over live chunks only.
 // Same ids/r contract as ops/modp.perman_core_mod — ids are chunk
 // indices in [0, 2^(n-1-r)), chunk `id` covering Gray positions
@@ -531,6 +732,11 @@ uint64_t sup_perman_mod_pruned(const uint64_t* a, int n, uint64_t p,
   if (n == 1) return a[0] % p;
   if (ids == nullptr) return sup_perman_mod(a, n, p);
   if (nids == 0) return 0;
+#if SUP_HAVE_IFMA_BUILD
+  if (p < ((uint64_t)1 << 52) && n <= IFMA_MAX_N && r >= 1
+      && sup_cpu_ifma())
+    return perman_mod_pruned_ifma(a, n, p, ids, nids, r, threads);
+#endif
   const Mont mg(p);
   const uint64_t inv2 = mg.to((p + 1) / 2);
   std::vector<uint64_t> x0(n), colp((size_t)(n - 1) * n), colm;

@@ -307,8 +307,14 @@ def exact_cost_estimate(a: np.ndarray,
         from .modp import core_plan
         pl_ = core_plan(core)
         if pl_ is not None:
+            from ..bindings.native import cpu_ifma
+            ifma = cpu_ifma()
+            npr_nat = max(1, math.ceil(bits / (52.0 if ifma else 61.0))) + 1
             live_iters = len(pl_[1]) << pl_[2]
-            secs = min(secs, npr * live_iters * n * 6e-9)
+            # measured per-element rates: 0.72 ns IFMA, 4.8 ns scalar
+            # (chesapeake core plan, one host core)
+            secs = min(secs, npr_nat * live_iters * n
+                       * (0.8e-9 if ifma else 6e-9))
     return secs, npr, n
 
 

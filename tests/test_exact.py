@@ -163,6 +163,31 @@ def test_native_mod_pruned_live_mask(rng):
     assert tested >= 3        # the density above always yields pruned cases
 
 
+@pytest.mark.skipif(not native.native_available() or not native.cpu_ifma(),
+                    reason="no AVX-512 IFMA host")
+def test_native_mod_pruned_ifma_52bit(rng):
+    # the 8-lane IFMA walk (p < 2^52 dispatch) must agree with the host
+    # twin — both with full coverage and with a pruned live mask
+    from superman_tpu.ops import modp
+    c = (1 << 52) - 1
+    while not exact._is_prime_u64(c):
+        c -= 2
+    for _ in range(6):
+        n = int(rng.integers(8, 13))
+        m = [[int(v) for v in row]
+             for row in _rand_signed_int(rng, n, vmax=5, density=0.5)]
+        red = np.array([[v % c for v in row] for row in m],
+                       dtype=np.uint64)
+        want = exact._perman_mod_host(m, c)
+        for r in (1, 2, n - 2):
+            ids = np.arange(1 << (n - 1 - r), dtype=np.int64)
+            assert native.perman_mod_pruned(red, c, ids, r) == want
+        liv = modp._live_exact(modp._doubled_object(m), 2)
+        if liv is not None:
+            assert native.perman_mod_pruned(red, c, np.asarray(liv),
+                                            2) == want
+
+
 @pytest.mark.skipif(not native.native_available(), reason="no native lib")
 def test_crt_native_backend_end_to_end(rng, tmp_path):
     # the native-backend CRT pipeline (plan + 61-bit walks + held-out

@@ -553,28 +553,32 @@ struct Mont52 {                       // Montgomery base R = 2^52
   uint64_t from(uint64_t a) const { return redc(a); }
 };
 
+// LAZY residues in [0, 2p), p < 2^50 (the integer twin of the TPU
+// kernel's [0, 2p) discipline, ops/modp.py): REDC on operands < 2p
+// yields < 2p directly when 4p < 2^52, so the output correction
+// disappears, and every remaining correction is a mask-free
+// unsigned-min (min(v, v - 2p) wraps when v < 2p) — zero k-register
+// traffic in the hot loop.
 __attribute__((target("avx512f,avx512ifma")))
 inline __m512i mulmod52(__m512i a, __m512i b, __m512i vp, __m512i vninv,
                         __m512i vzero, __m512i vone) {
-  // lanewise Montgomery product, inputs/outputs in [0, p)
+  // lanewise Montgomery product, inputs in [0, 2p), output in [0, 2p)
   __m512i lo = _mm512_madd52lo_epu64(vzero, a, b);
   __m512i hi = _mm512_madd52hi_epu64(vzero, a, b);
   __m512i m = _mm512_madd52lo_epu64(vzero, lo, vninv);
   __m512i mphi = _mm512_madd52hi_epu64(vzero, m, vp);
   // low52(m*p) == (2^52 - lo) mod 2^52, so the low-half carry out of
-  // lo + low52(m*p) is exactly (lo != 0) — the low IFMA is never needed
-  __mmask8 carry = _mm512_cmpneq_epu64_mask(lo, vzero);
-  __m512i r = _mm512_add_epi64(hi, mphi);
-  r = _mm512_mask_add_epi64(r, carry, r, vone);
-  __mmask8 ge = _mm512_cmpge_epu64_mask(r, vp);
-  return _mm512_mask_sub_epi64(r, ge, r, vp);
+  // lo + low52(m*p) is exactly (lo != 0) == min(lo, 1) — the low IFMA
+  // is never computed
+  __m512i carry = _mm512_min_epu64(lo, vone);
+  return _mm512_add_epi64(_mm512_add_epi64(hi, mphi), carry);
 }
 
 __attribute__((target("avx512f,avx512ifma")))
-inline __m512i addmod52(__m512i x, __m512i c, __m512i vp) {
+inline __m512i addmod52(__m512i x, __m512i c, __m512i vp2) {
+  // x in [0, 2p), c in [0, 2p]: one wrap-aware min corrects by 2p
   __m512i s = _mm512_add_epi64(x, c);
-  __mmask8 ge = _mm512_cmpge_epu64_mask(s, vp);
-  return _mm512_mask_sub_epi64(s, ge, s, vp);
+  return _mm512_min_epu64(s, _mm512_sub_epi64(s, vp2));
 }
 
 constexpr int IFMA_MAX_N = 64;        // stack x buffer; larger cores
@@ -612,6 +616,7 @@ uint64_t perman_mod_pruned_ifma(const uint64_t* a, int n, uint64_t p,
 #pragma omp parallel num_threads(threads)
   {
     const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i vp2 = _mm512_set1_epi64((long long)(2 * p));
     const __m512i vninv = _mm512_set1_epi64((long long)mg.ninv);
     const __m512i vzero = _mm512_setzero_si512();
     const __m512i vone = _mm512_set1_epi64(1);
@@ -669,7 +674,7 @@ uint64_t perman_mod_pruned_ifma(const uint64_t* a, int n, uint64_t p,
             cj = _mm512_set1_epi64((long long)csel[j]);
           }
           __m512i xj = _mm512_load_si512((const void*)xbuf[j]);
-          xj = addmod52(xj, cj, vp);
+          xj = addmod52(xj, cj, vp2);
           _mm512_store_si512((void*)xbuf[j], xj);
           // 4 interleaved partial products hide the REDC latency chain
           switch (j & 3) {
@@ -682,9 +687,9 @@ uint64_t perman_mod_pruned_ifma(const uint64_t* a, int n, uint64_t p,
         prod = mulmod52(mulmod52(p0, p1, vp, vninv, vzero, vone),
                         mulmod52(p2, p3, vp, vninv, vzero, vone),
                         vp, vninv, vzero, vone);
-        if (t & 1)                      // -prod mod p (prod < p)
-          prod = _mm512_sub_epi64(vp, prod);
-        acc = addmod52(acc, prod, vp);  // sums < 2p, one correction
+        if (t & 1)                      // -prod mod p (prod < 2p)
+          prod = _mm512_sub_epi64(vp2, prod);
+        acc = addmod52(acc, prod, vp2);  // sums < 4p, one -2p correction
       }
       _mm512_store_si512((void*)lanes, acc);
       for (int l = 0; l < used; l++) {
@@ -733,7 +738,8 @@ uint64_t sup_perman_mod_pruned(const uint64_t* a, int n, uint64_t p,
   if (ids == nullptr) return sup_perman_mod(a, n, p);
   if (nids == 0) return 0;
 #if SUP_HAVE_IFMA_BUILD
-  if (p < ((uint64_t)1 << 52) && n <= IFMA_MAX_N && r >= 1
+  // lazy-residue bound: REDC output < 2p needs 4p < 2^52 (see mulmod52)
+  if (p < ((uint64_t)1 << 50) && n <= IFMA_MAX_N && r >= 1
       && sup_cpu_ifma())
     return perman_mod_pruned_ifma(a, n, p, ids, nids, r, threads);
 #endif

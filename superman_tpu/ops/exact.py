@@ -305,16 +305,17 @@ def exact_cost_estimate(a: np.ndarray,
         # so the run (perman_exact_fraction -> crt_perman_core
         # backend="native") reuses exactly the plan priced here
         from .modp import core_plan
+        from ..bindings.native import cpu_ifma
+        ifma = cpu_ifma()
+        npr_nat = max(1, math.ceil(bits / (50.0 if ifma else 61.0))) + 1
         pl_ = core_plan(core)
-        if pl_ is not None:
-            from ..bindings.native import cpu_ifma
-            ifma = cpu_ifma()
-            npr_nat = max(1, math.ceil(bits / (52.0 if ifma else 61.0))) + 1
-            live_iters = len(pl_[1]) << pl_[2]
-            # measured per-element rates: 0.72 ns IFMA, 4.8 ns scalar
-            # (chesapeake core plan, one host core)
-            secs = min(secs, npr_nat * live_iters * n
-                       * (0.8e-9 if ifma else 6e-9))
+        live_iters = ((len(pl_[1]) << pl_[2]) if pl_ is not None
+                      else (1 << max(0, n - 1)))       # dense index space
+        # measured per-element rates on the chesapeake core plan
+        # (one host core): 0.46 ns IFMA (strict), ~0.3 ns lazy,
+        # 4.8 ns scalar — priced with headroom
+        secs = min(secs, npr_nat * live_iters * n
+                   * (0.5e-9 if ifma else 6e-9))
     return secs, npr, n
 
 

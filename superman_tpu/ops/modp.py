@@ -724,11 +724,11 @@ def crt_perman_core(core, *, lanes: int = 512, interpret=None,
     if backend == "tpu":
         ceil_p = PRIME_CEIL
     else:
-        # IFMA hosts take 52-bit primes so every walk dispatches onto
-        # the 8-lane AVX-512 path (bindings.native.cpu_ifma): ~15% more
-        # primes per CRT bit for ~6.6x walk throughput
+        # IFMA hosts take <2^50 primes so every walk dispatches onto the
+        # 8-lane AVX-512 lazy-residue path (bindings.native.cpu_ifma):
+        # ~20% more primes per CRT bit for ~10x walk throughput
         from ..bindings.native import cpu_ifma
-        ceil_p = ((1 << 52) - 1) if cpu_ifma() else _PRIME_CEIL
+        ceil_p = ((1 << 50) - 1) if cpu_ifma() else _PRIME_CEIL
     need_primes, cov, c = [], 0.0, ceil_p
     while cov < bits or not need_primes:
         while not _is_prime_u64(c):

@@ -156,6 +156,14 @@ def test_exact_known_table_certified():
     assert rows["d_ss.mtx"]["value"] == rows["d_ss.mtxzero"]["value"]
     assert rows["ibm32.mtxzero"]["value"] == rows["ibm32_p.mtx"]["value"]
     assert rows["ibm32.mtxzero"]["value"] == 2398815.0
+    # round-4 flagship: the chesapeake n=39 core, certified on the host
+    # by the native pruned CRT pipeline (IFMA lazy-residue walks) — the
+    # first exact value for this matrix; two independently-read files of
+    # the same graph must agree exactly
+    assert rows["chesapeake.mtx"]["value"] == 13173481190272.0
+    assert rows["chesapeake.mtx"]["core_n"] == 39
+    assert rows["chesapeake_ps.mtx"]["value"] == \
+        rows["chesapeake.mtx"]["value"]
 
 
 def test_docs_cite_only_existing_artifacts():

@@ -166,10 +166,10 @@ def test_native_mod_pruned_live_mask(rng):
 @pytest.mark.skipif(not native.native_available() or not native.cpu_ifma(),
                     reason="no AVX-512 IFMA host")
 def test_native_mod_pruned_ifma_52bit(rng):
-    # the 8-lane IFMA walk (p < 2^52 dispatch) must agree with the host
-    # twin — both with full coverage and with a pruned live mask
+    # the 8-lane IFMA lazy-residue walk (p < 2^50 dispatch) must agree
+    # with the host twin — full coverage and a pruned live mask
     from superman_tpu.ops import modp
-    c = (1 << 52) - 1
+    c = (1 << 50) - 1
     while not exact._is_prime_u64(c):
         c -= 2
     for _ in range(6):

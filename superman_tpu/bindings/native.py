@@ -51,6 +51,8 @@ def load() -> ctypes.CDLL:
         lib.sup_perman_mod_batch.argtypes = [up64, I, up64, I, I, up64]
         lib.sup_perman_mod_pruned.restype = U
         lib.sup_perman_mod_pruned.argtypes = [up64, I, U, ip64, LL, I, I]
+        lib.sup_perman_glynn_mod_chunked.restype = U
+        lib.sup_perman_glynn_mod_chunked.argtypes = [up64, I, U, I, I]
         lib.sup_cpu_ifma.restype = I
         lib.sup_cpu_ifma.argtypes = []
         lib.read_calculate_return.restype = D
@@ -122,6 +124,26 @@ def perman_mod_pruned(am: np.ndarray, p: int, ids: np.ndarray, r: int,
     assert 1 <= int(r) <= 62
     return int(lib.sup_perman_mod_pruned(am, am.shape[0], p, ids,
                                          len(ids), int(r), int(threads)))
+
+
+def perman_glynn_mod(am: np.ndarray, p: int, r: int = None,
+                     threads: int = 0) -> int:
+    """per(am) mod p via the GLYNN polarization walk — the second,
+    algorithmically independent exact engine (native
+    sup_perman_glynn_mod_chunked).  Used to cross-certify EXACT_KNOWN
+    rows at a fresh prime: a systematic NW-walk/plan bug corrupts every
+    CRT residue identically (invisible to the held-out verifier), but
+    cannot also reproduce under Glynn's different identity.  am
+    pre-reduced into [0, p); r is the chunk log-length (default splits
+    into ~8k chunks so the IFMA lanes and OMP threads fill).
+    """
+    lib = load()
+    am = np.ascontiguousarray(am, dtype=np.uint64)
+    n = am.shape[0]
+    if r is None:
+        r = max(1, n - 1 - 13)
+    return int(lib.sup_perman_glynn_mod_chunked(am, n, p, int(r),
+                                                int(threads)))
 
 
 def read_calculate_return(filename: str, algorithm: int, nt: int = 16,

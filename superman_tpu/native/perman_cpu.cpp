@@ -827,6 +827,296 @@ uint64_t sup_perman_mod_pruned(const uint64_t* a, int n, uint64_t p,
   return mg.from(acc);
 }
 
+// ------------------------------------------- exact: Glynn Z_p walk
+//
+// SECOND independent exact algorithm: Glynn's polarization identity
+//   per(A) = 2^(1-n) * sum_{d in {+1}x{±1}^(n-1)} (prod_i d_i)
+//            * prod_j (sum_i d_i a_ij)
+// vs the Nijenhuis–Wilf/Ryser walk above (different identity, different
+// init — plain column sums, no x/2 halving — and a 2a update scale).
+// Its purpose is algorithmic cross-certification of EXACT_KNOWN rows:
+// the CRT held-out prime catches a WALK bug only if it perturbs
+// residues inconsistently across primes; a systematic bug (wrong plan,
+// wrong fold) corrupts every NW residue identically and sails through.
+// Agreement of an NW-certified integer with a Glynn residue at a fresh
+// prime closes that hole.  No reference counterpart (the reference has
+// one exact algorithm family; SURVEY §4).
+//
+// Gray enumeration: delta_0 = +1 fixed; bit k of gray(m) set means
+// delta_{k+1} = -1.  One Gray step flips one delta: y_j -+= 2 a_{k+1,j}.
+// prod_i d_i = (-1)^popcount(gray(m)) = (-1)^m (one flip per step).
+
+// Entries a[i*n+j] pre-reduced into [0, p); odd p < 2^62.
+uint64_t sup_perman_glynn_mod(const uint64_t* a, int n, uint64_t p) {
+  if (n <= 0) return 1 % p;
+  if (n == 1) return a[0] % p;
+  const Mont mg(p);
+  std::vector<uint64_t> y(n), g2p((size_t)(n - 1) * n), g2m;
+  for (int j = 0; j < n; j++) {
+    uint64_t s = 0;
+    for (int i = 0; i < n; i++) {
+      s += mg.to(a[(size_t)i * n + j]);       // all-(+1) column sums
+      if (s >= p) s -= p;
+    }
+    y[j] = s;
+  }
+  for (int k = 0; k < n - 1; k++)
+    for (int j = 0; j < n; j++) {
+      uint64_t v = a[(size_t)(k + 1) * n + j];
+      v += v;                                  // 2 a_{k+1,j} mod p
+      if (v >= p) v -= p;
+      g2p[(size_t)k * n + j] = mg.to(v);
+    }
+  g2m.resize(g2p.size());
+  for (size_t i = 0; i < g2p.size(); i++)
+    g2m[i] = g2p[i] ? p - g2p[i] : 0;
+
+  uint64_t acc = mg.to(1);
+  for (int j = 0; j < n; j++) acc = mg.mul(acc, y[j]);   // m = 0 term
+  const uint64_t one_m = mg.to(1);
+  const uint64_t total = 1ull << (n - 1);
+  for (uint64_t m = 1; m < total; m++) {
+    const int k = __builtin_ctzll(m);
+    const uint64_t g = m ^ (m >> 1);
+    // bit k's NEW value: 1 -> delta_{k+1} now -1 -> subtract 2a
+    const uint64_t* c = ((g >> k) & 1ull) ? &g2m[(size_t)k * n]
+                                          : &g2p[(size_t)k * n];
+    uint64_t prod = one_m;
+    for (int j = 0; j < n; j++) {
+      uint64_t yv = y[j] + c[j];
+      if (yv >= p) yv -= p;
+      y[j] = yv;
+      prod = mg.mul(prod, yv);
+    }
+    acc += (m & 1) ? p - prod : prod;
+    if (acc >= p) acc -= p;
+  }
+  const uint64_t inv2 = mg.to((p + 1) / 2);   // per = 2^(1-n) * acc
+  for (int i = 0; i < n - 1; i++) acc = mg.mul(acc, inv2);
+  return mg.from(acc);
+}
+
+#if SUP_HAVE_IFMA_BUILD
+namespace {
+
+// 8-lane chunked dense Glynn walk — the lane/chunk layout, lazy [0,2p)
+// residue discipline and interleaved partial products of
+// perman_mod_pruned_ifma, with Glynn init/update/scale.  Glynn has no
+// zero-structure pruning (y_j vanishes only by cancellation), so the
+// id space is always dense: chunk c covers m in [c<<r, (c+1)<<r).
+__attribute__((target("avx512f,avx512ifma")))
+uint64_t perman_glynn_mod_ifma(const uint64_t* a, int n, uint64_t p,
+                               int r, int threads) {
+  const Mont52 mg(p);
+  std::vector<uint64_t> y0(n), g2p((size_t)(n - 1) * n), g2m;
+  for (int j = 0; j < n; j++) {
+    uint64_t s = 0;
+    for (int i = 0; i < n; i++) {
+      s += mg.to(a[(size_t)i * n + j]);
+      if (s >= p) s -= p;
+    }
+    y0[j] = s;
+  }
+  for (int k = 0; k < n - 1; k++)
+    for (int j = 0; j < n; j++) {
+      uint64_t v = a[(size_t)(k + 1) * n + j];
+      v += v;
+      if (v >= p) v -= p;
+      g2p[(size_t)k * n + j] = mg.to(v);
+    }
+  g2m.resize(g2p.size());
+  for (size_t i = 0; i < g2p.size(); i++)
+    g2m[i] = g2p[i] ? p - g2p[i] : 0;
+
+  threads = pick_threads(threads);
+  const uint64_t one_s = mg.to(1);
+  const uint64_t steps = 1ull << r;
+  const long long nids = 1ll << (n - 1 - r);
+  const long long nbatch = (nids + 7) / 8;
+  uint64_t acc_total = 0;
+  std::atomic<long long> next(0);
+#pragma omp parallel num_threads(threads)
+  {
+    const __m512i vp = _mm512_set1_epi64((long long)p);
+    const __m512i vp2 = _mm512_set1_epi64((long long)(2 * p));
+    const __m512i vninv = _mm512_set1_epi64((long long)mg.ninv);
+    const __m512i vzero = _mm512_setzero_si512();
+    const __m512i vone = _mm512_set1_epi64(1);
+    const __m512i vone_m = _mm512_set1_epi64((long long)one_s);
+    alignas(64) uint64_t ybuf[IFMA_MAX_N][8];
+    alignas(64) uint64_t lanes[8];
+    uint64_t lacc = 0;
+    for (;;) {
+      const long long b = next.fetch_add(1, std::memory_order_relaxed);
+      if (b >= nbatch) break;
+      const int used = (int)std::min<long long>(8, nids - b * 8);
+      __mmask8 midflip = 0;            // odd-id lanes: global gray bit
+                                       // at the midpoint is 1 ^ (id&1)
+      for (int l = 0; l < 8; l++) {
+        const int64_t id = b * 8 + (l < used ? l : 0);
+        if ((id & 1) && l < used) midflip |= (__mmask8)(1u << l);
+        const uint64_t base = (uint64_t)id << r;
+        const uint64_t g0 = base ^ (base >> 1);
+        for (int j = 0; j < n; j++) ybuf[j][l] = y0[j];
+        for (int k = 0; k < n - 1; k++)
+          if ((g0 >> k) & 1ull)        // set bit: delta = -1 -> -2a
+            for (int j = 0; j < n; j++) {
+              uint64_t v = ybuf[j][l] + g2m[(size_t)k * n + j];
+              ybuf[j][l] = v >= p ? v - p : v;
+            }
+      }
+      __m512i prod = vone_m;           // m = base term (even: sign +)
+      for (int j = 0; j < n; j++)
+        prod = mulmod52(prod, _mm512_load_si512((const void*)ybuf[j]),
+                        vp, vninv, vzero, vone);
+      __m512i acc = prod;
+      for (uint64_t t = 1; t < steps; t++) {
+        const int k = __builtin_ctzll(t);
+        const uint64_t gt = t ^ (t >> 1);
+        const bool mid = (k == r - 1);
+        const uint64_t* gp = &g2p[(size_t)k * n];
+        const uint64_t* gm = &g2m[(size_t)k * n];
+        // new gray bit 1 -> subtract 2a (NW's csel, polarity swapped)
+        const uint64_t* csel = ((gt >> k) & 1ull) ? gm : gp;
+        __m512i p0 = vone_m, p1 = vone_m, p2 = vone_m, p3 = vone_m;
+        for (int j = 0; j < n; j++) {
+          __m512i cj;
+          if (mid) {
+            // even id: gray bit -> 1 -> -2a; odd id: -> 0 -> +2a
+            cj = _mm512_mask_blend_epi64(
+                midflip, _mm512_set1_epi64((long long)gm[j]),
+                _mm512_set1_epi64((long long)gp[j]));
+          } else {
+            cj = _mm512_set1_epi64((long long)csel[j]);
+          }
+          __m512i yj = _mm512_load_si512((const void*)ybuf[j]);
+          yj = addmod52(yj, cj, vp2);
+          _mm512_store_si512((void*)ybuf[j], yj);
+          switch (j & 3) {
+            case 0: p0 = mulmod52(p0, yj, vp, vninv, vzero, vone); break;
+            case 1: p1 = mulmod52(p1, yj, vp, vninv, vzero, vone); break;
+            case 2: p2 = mulmod52(p2, yj, vp, vninv, vzero, vone); break;
+            default: p3 = mulmod52(p3, yj, vp, vninv, vzero, vone);
+          }
+        }
+        prod = mulmod52(mulmod52(p0, p1, vp, vninv, vzero, vone),
+                        mulmod52(p2, p3, vp, vninv, vzero, vone),
+                        vp, vninv, vzero, vone);
+        if (t & 1)
+          prod = _mm512_sub_epi64(vp2, prod);
+        acc = addmod52(acc, prod, vp2);
+      }
+      _mm512_store_si512((void*)lanes, acc);
+      for (int l = 0; l < used; l++) {
+        lacc += lanes[l] >= p ? lanes[l] - p : lanes[l];
+        if (lacc >= p) lacc -= p;
+      }
+    }
+#pragma omp critical
+    {
+      acc_total += lacc;
+      if (acc_total >= p) acc_total -= p;
+    }
+  }
+  const uint64_t inv2 = mg.to((p + 1) / 2);
+  for (int i = 0; i < n - 1; i++) acc_total = mg.mul(acc_total, inv2);
+  return mg.from(acc_total);
+}
+
+}  // namespace
+#endif  // SUP_HAVE_IFMA_BUILD
+
+// Chunked dense Glynn walk: r >= 1 splits the 2^(n-1) Gray space into
+// 2^(n-1-r) chunks (IFMA lanes / OMP threads); r == 0 runs the plain
+// scalar walk.  Requires odd p < 2^62 (IFMA engages below 2^50,
+// matching the lazy-residue bound) and 1 <= r <= n-1 when chunking.
+uint64_t sup_perman_glynn_mod_chunked(const uint64_t* a, int n, uint64_t p,
+                                      int r, int threads) {
+  if (n <= 0) return 1 % p;
+  if (n == 1) return a[0] % p;
+  if (r < 1 || r > n - 1)
+    return sup_perman_glynn_mod(a, n, p);
+#if SUP_HAVE_IFMA_BUILD
+  if (p < ((uint64_t)1 << 50) && n <= IFMA_MAX_N && sup_cpu_ifma())
+    return perman_glynn_mod_ifma(a, n, p, r, threads);
+#endif
+  const Mont mg(p);
+  std::vector<uint64_t> y0(n), g2p((size_t)(n - 1) * n), g2m;
+  for (int j = 0; j < n; j++) {
+    uint64_t s = 0;
+    for (int i = 0; i < n; i++) {
+      s += mg.to(a[(size_t)i * n + j]);
+      if (s >= p) s -= p;
+    }
+    y0[j] = s;
+  }
+  for (int k = 0; k < n - 1; k++)
+    for (int j = 0; j < n; j++) {
+      uint64_t v = a[(size_t)(k + 1) * n + j];
+      v += v;
+      if (v >= p) v -= p;
+      g2p[(size_t)k * n + j] = mg.to(v);
+    }
+  g2m.resize(g2p.size());
+  for (size_t i = 0; i < g2p.size(); i++)
+    g2m[i] = g2p[i] ? p - g2p[i] : 0;
+
+  threads = pick_threads(threads);
+  const uint64_t one_m = mg.to(1);
+  const uint64_t steps = 1ull << r;
+  const long long nids = 1ll << (n - 1 - r);
+  uint64_t acc = 0;
+  std::atomic<long long> next(0);
+#pragma omp parallel num_threads(threads)
+  {
+    std::vector<uint64_t> y(n);
+    uint64_t lacc = 0;
+    for (;;) {
+      const long long ci = next.fetch_add(1, std::memory_order_relaxed);
+      if (ci >= nids) break;
+      const uint64_t base = (uint64_t)ci << r;
+      const uint64_t g0 = base ^ (base >> 1);
+      for (int j = 0; j < n; j++) y[j] = y0[j];
+      for (int k = 0; k < n - 1; k++)
+        if ((g0 >> k) & 1ull) {
+          const uint64_t* c = &g2m[(size_t)k * n];
+          for (int j = 0; j < n; j++) {
+            uint64_t v = y[j] + c[j];
+            y[j] = v >= p ? v - p : v;
+          }
+        }
+      uint64_t prod = one_m;
+      for (int j = 0; j < n; j++) prod = mg.mul(prod, y[j]);
+      lacc += prod;
+      if (lacc >= p) lacc -= p;
+      for (uint64_t t = 1; t < steps; t++) {
+        const uint64_t m = base + t;
+        const int k = __builtin_ctzll(t);
+        const uint64_t g = m ^ (m >> 1);
+        const uint64_t* c = ((g >> k) & 1ull) ? &g2m[(size_t)k * n]
+                                              : &g2p[(size_t)k * n];
+        uint64_t pr = one_m;
+        for (int j = 0; j < n; j++) {
+          uint64_t yv = y[j] + c[j];
+          if (yv >= p) yv -= p;
+          y[j] = yv;
+          pr = mg.mul(pr, yv);
+        }
+        lacc += (t & 1) ? p - pr : pr;
+        if (lacc >= p) lacc -= p;
+      }
+    }
+#pragma omp critical
+    {
+      acc += lacc;
+      if (acc >= p) acc -= p;
+    }
+  }
+  const uint64_t inv2 = mg.to((p + 1) / 2);
+  for (int i = 0; i < n - 1; i++) acc = mg.mul(acc, inv2);
+  return mg.from(acc);
+}
+
 // -------------------------------------------------------- approximation
 
 // Rasmussen estimator (min-degree heuristic), binary support matrix.

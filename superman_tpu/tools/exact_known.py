@@ -10,12 +10,32 @@ corpus its first actual known answers.  real_suite.py arbitrates
 against these rows.
 
 Run:  python -m superman_tpu.tools.exact_known [--out EXACT_KNOWN.jsonl]
-      [--budget SECONDS] [--files SUBSTR ...] [--merge]
+      [--budget SECONDS] [--files SUBSTR ...] [--merge] [--reverify]
 
 --merge keeps existing rows (skipping their files) so a TPU host can
 extend the table with just the big cores the CPU walk cannot reach
 (chesapeake core n=39, cage5_c2 n=37, will57 core n=49 — ops/modp.py)
 without re-paying the 23 minutes of already-certified CPU rows.
+
+--reverify recomputes every existing row through the native CRT
+pipeline and compares exact numerators.  Because that pipeline picks
+its prime ceiling by host capability (<2^50 IFMA lanes vs <2^61
+scalar), a re-run on a different-era host uses a DISJOINT prime set
+and different arithmetic — each row's original held-out certificate
+is then cross-checked by an independent reconstruction.
+
+On top of that, reverify runs the SECOND ALGORITHM: per_core is checked
+mod a fresh ~2^49 prime against the native Glynn polarization walk
+(bindings.native.perman_glynn_mod) whenever the core's 2^(n-1) Gray
+space fits --algo2-iters.  The CRT held-out prime only catches walk
+bugs that perturb residues INCONSISTENTLY across primes; a systematic
+bug (wrong plan, wrong fold, wrong walk identity) corrupts every
+Nijenhuis–Wilf residue identically and sails through — it cannot also
+reproduce under Glynn's different identity.  The ~2^49 check prime is
+structurally disjoint from every certification prime set (native IFMA
+descends from 2^50-1, scalar native from ~2^61, the TPU engine uses
+<=11-bit primes).  --report writes the summary artifact
+(EXACT_REVERIFY.json) that tests/test_evidence.py pins.
 """
 
 from __future__ import annotations
@@ -37,11 +57,34 @@ def main(argv=None):
                    help="only files whose name contains one of these")
     p.add_argument("--merge", action="store_true",
                    help="keep existing rows; only compute missing files")
+    p.add_argument("--reverify", action="store_true",
+                   help="recompute every existing row (native CRT, "
+                        "host-capability prime set) and compare")
+    p.add_argument("--algo2-iters", type=float, default=None,
+                   help="max 2^(core_n-1) Gray iters for the Glynn "
+                        "second-algorithm check (default ~1.3e8 on "
+                        "IFMA hosts, ~8e6 scalar)")
+    p.add_argument("--report", default=None,
+                   help="write a JSON reverify summary artifact here")
     args = p.parse_args(argv)
 
     from ..io.matrixmarket import read_any
     from ..ops import exact
     from .real_suite import corpus
+
+    if args.reverify:
+        # reverify is BY DESIGN a host-only independent reconstruction —
+        # and must never touch the accelerator stack: exact_cost_estimate
+        # probes jax.default_backend(), which HANGS process-wide when the
+        # axon tunnel is wedged (CLAUDE.md round-4 outage facts).  Env
+        # vars cannot override the axon site config; the in-process
+        # config update can.
+        try:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        return _reverify(args, read_any, exact, corpus)
 
     done = {}
     if args.merge and os.path.exists(args.out):
@@ -91,6 +134,96 @@ def main(argv=None):
     out.close()
     os.replace(args.out + ".partial", args.out)
     return 0
+
+
+def _glynn_check_prime(exact):
+    """Fresh ~2^49 prime for the second-algorithm check — structurally
+    disjoint from every certification prime set (see module doc)."""
+    c = (1 << 49) - 1
+    while not exact._is_prime_u64(c):
+        c -= 2
+    return c
+
+
+def _reverify(args, read_any, exact, corpus):
+    from fractions import Fraction
+
+    from ..bindings.native import cpu_ifma, perman_glynn_mod
+    from ..ops import modp
+
+    algo2_iters = args.algo2_iters
+    if algo2_iters is None:
+        algo2_iters = float(1 << 27) if cpu_ifma() else float(1 << 23)
+    pg = _glynn_check_prime(exact)
+    rows = {}
+    for line in open(args.out):
+        d = json.loads(line)
+        rows[d["file"]] = d
+    paths = {os.path.basename(p): p for p in corpus()}
+    ok = bad = skipped = 0
+    report = []
+    for name, row in sorted(rows.items()):
+        if not row.get("engine") or row["engine"] == "fold_only":
+            skipped += 1
+            continue
+        if args.files and not any(s in name for s in args.files):
+            skipped += 1
+            continue
+        a = np.asarray(read_any(paths[name], 0, 0, 0).mat, np.float64)
+        secs, _, core_n = exact.exact_cost_estimate(a)
+        if secs > args.budget:
+            print(f"{name}: skipped (est {secs:.0f} s)", flush=True)
+            skipped += 1
+            continue
+        m, k = exact.dyadic_int_matrix(a)
+        core, mult = exact._fold_lines(m)
+        t0 = time.time()
+        per_core = (modp.crt_perman_core(core, backend="native")[0]
+                    if core else 1)
+        # rows store the REDUCED Fraction numerator (gcd with 2^(k*n)
+        # cancelled), not the raw lifted integer
+        frac = Fraction(mult * per_core, 1 << (k * a.shape[0]))
+        num = str(frac.numerator)
+        want = row["numerator"]
+        match = (num == want if not want.endswith("...")
+                 else num.startswith(want[:-3]))
+        algo2 = None
+        if core and float(1 << (len(core) - 1)) <= algo2_iters:
+            am = np.asarray([[int(v) % pg for v in row_] for row_ in core],
+                            dtype=np.uint64)
+            algo2 = bool(perman_glynn_mod(am, pg) == per_core % pg)
+        print(f"{name}: {'MATCH' if match else 'MISMATCH'}"
+              f"{'' if algo2 is None else ' algo2=' + ('OK' if algo2 else 'FAIL')}"
+              f" ({time.time() - t0:.1f} s)", flush=True)
+        ok += match and algo2 is not False
+        bad += (not match) or algo2 is False
+        report.append({"file": name, "crt_match": bool(match),
+                       "glynn_ok": algo2,
+                       "wall_s": round(time.time() - t0, 1)})
+    print(f"reverify: {ok} match, {bad} MISMATCH, {skipped} skipped",
+          flush=True)
+    if args.report:
+        # merge-by-file so a flagship re-run with a raised --algo2-iters
+        # (chesapeake: 2^38 Glynn iters) folds into the same artifact
+        merged = {}
+        if os.path.exists(args.report):
+            try:
+                old = json.load(open(args.report))
+                merged = {r["file"]: r for r in old.get("rows", [])}
+            except Exception:
+                merged = {}
+        for r in report:
+            merged[r["file"]] = r
+        rows_out = [merged[kk] for kk in sorted(merged)]
+        n_bad = sum(1 for r in rows_out
+                    if not r["crt_match"] or r.get("glynn_ok") is False)
+        with open(args.report, "w") as f:
+            json.dump({"rows": rows_out, "glynn_prime": pg,
+                       "algo2_iters": algo2_iters,
+                       "n_match": len(rows_out) - n_bad,
+                       "n_mismatch": n_bad,
+                       "n_skipped": skipped}, f, indent=1)
+    return 0 if bad == 0 else 1
 
 
 if __name__ == "__main__":

@@ -189,6 +189,34 @@ def test_native_mod_pruned_ifma_52bit(rng):
 
 
 @pytest.mark.skipif(not native.native_available(), reason="no native lib")
+def test_native_glynn_mod_matches_nw_walk(rng):
+    """The Glynn Z_p walk (second independent exact algorithm,
+    sup_perman_glynn_mod[_chunked]) agrees with the NW walk AND the
+    bigint truth at every tier: 61-bit scalar, <2^50 IFMA-eligible, and
+    tiny primes; scalar (r=0) and chunked at several r.  This is the CI
+    anchor for the algo2 cross-certification of EXACT_KNOWN rows."""
+    prs = [exact.primes_desc(1)[0], 1000003]
+    c = (1 << 50) - 1
+    while not exact._is_prime_u64(c):
+        c -= 2
+    prs.append(c)
+    for n in (2, 5, 9, 12):
+        m = [[int(v) for v in row]
+             for row in _rand_signed_int(rng, n, vmax=7)]
+        # bigint-DFS truth only at n <= 9: dense DFS visits ~n! paths
+        want_int = exact._perman_bigint_dfs(m) if n <= 9 else None
+        for p in prs:
+            red = np.array([[v % p for v in row] for row in m],
+                           dtype=np.uint64)
+            want = exact._perman_mod_host(m, p)      # NW host twin
+            if want_int is not None:
+                assert want == want_int % p
+            for r in (0, 1, max(1, n // 2), n - 1):
+                assert native.perman_glynn_mod(red, p, r=r) == want
+            assert native.perman_glynn_mod(red, p) == want  # default r
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no native lib")
 def test_crt_native_backend_end_to_end(rng, tmp_path):
     # the native-backend CRT pipeline (plan + 61-bit walks + held-out
     # verifier + per-prime checkpoint) returns the exact integer

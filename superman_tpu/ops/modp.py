@@ -144,6 +144,31 @@ def pack_mod(am: np.ndarray, p: int, n_pad: int):
     return x0v, cols, colst
 
 
+def pack_glynn_mod(am: np.ndarray, p: int, n_pad: int):
+    """Host pack for the GLYNN identity on the UNCHANGED walk kernel.
+
+    The NW walk body computes x += s*c with s = +1 when the gray bit
+    flips to 1.  Glynn's recursion over delta vectors (delta_0 = +1
+    fixed, bit k set meaning delta_{k+1} = -1) is y_j -= 2 a_{k+1,j}
+    at a 0->1 flip — i.e. the SAME body applied to init y0 = all-(+1)
+    column sums and column tables carrying the NEGATED doubled rows
+    c_k = (-2 a_{k+1,:}) mod p.  One compiled Mosaic program therefore
+    serves both identities; only this packing and the final 2^(1-n)
+    scale differ (the native twin sup_perman_glynn_mod does the same).
+    """
+    n = am.shape[0]
+    y0 = am.sum(axis=0) % p
+    y0v = np.ones(n_pad, dtype=np.float32)
+    y0v[:n] = y0.astype(np.float32)
+    neg2 = (p - (2 * am[1:, :]) % p) % p         # (n-1, n) in [0, p)
+    cols = np.zeros((n - 1, n_pad), dtype=np.float32)
+    cols[:, :n] = neg2.astype(np.float32)
+    nb_pad = -(-(n - 1) // 128) * 128
+    colst = np.zeros((n_pad, nb_pad), dtype=np.float32)
+    colst[:n, : n - 1] = neg2.T.astype(np.float32)
+    return y0v, cols, colst
+
+
 # ----------------------------------------------------- device chunk init
 
 @functools.partial(jax.jit, static_argnames=("n", "n_pad"))
@@ -545,6 +570,49 @@ def perman_core_mod(core, p: int, *, ids=None, r=None, lanes: int = 512,
     if not (n & 1):
         acc = (-acc) % p
     return acc
+
+
+def perman_core_glynn_mod(core, p: int, *, lanes: int = 512,
+                          interpret=None) -> int:
+    """per(core) mod p via the GLYNN identity — the TPU algo2 engine.
+
+    Same compiled kernel, same compile shapes as perman_core_mod (see
+    pack_glynn_mod): only the host packing and the final 2^(1-n) scale
+    differ.  Glynn has no zero-structure pruning (y_j vanishes only by
+    cancellation), so the walk is always dense — use it as the
+    second-algorithm CHECK at one fresh prime of an NW-CRT-certified
+    integer (tools/exact_known.py --reverify does this on the host;
+    this is the TPU tier for cores past the CPU Glynn frontier, e.g.
+    will57's n=49 core at 2^48 iters).
+    """
+    n = len(core)
+    if p > PRIME_CEIL or p < 3:
+        raise ValueError(
+            f"perman_core_glynn_mod: p={p} outside [3, {PRIME_CEIL}] — "
+            f"lazy residue products must stay exact f32 integers")
+    if n == 0:
+        return 1 % p
+    if n == 1:
+        return int(core[0][0]) % p
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    am = reduce_core_mod(core, p)
+    n_pad = gray.pad_n(n)
+    y0v, cols, colst = pack_glynn_mod(am, p, n_pad)
+    plan = gray.make_plan(n, lanes=lanes, df=True)
+    r = min(plan.r, _R_CAP)
+    lanes = plan.lanes
+    ids = np.arange(1 << max(0, n - 1 - r), dtype=np.int64)
+    from ..parallel.sharding import pad_ids
+    L = min(lanes, max(1, 1 << (len(ids) - 1).bit_length()))
+    if not interpret:
+        L = min(lanes, max(L, 128))
+    ids_blocks = pad_ids(ids.astype(np.int32), L, 1,
+                         block_multiple=32 if len(ids) >= 32 else 1)
+    total = mod_partials(ids_blocks, y0v, cols, colst, p,
+                         n=n, n_pad=n_pad, r=int(r), interpret=interpret)
+    acc = int(round(total)) % p
+    return acc * pow((p + 1) // 2, n - 1, p) % p
 
 
 def _doubled_object(core) -> np.ndarray:

@@ -66,11 +66,18 @@ def main(argv=None):
                         "IFMA hosts, ~8e6 scalar)")
     p.add_argument("--report", default=None,
                    help="write a JSON reverify summary artifact here")
+    p.add_argument("--algo2-tpu", action="store_true",
+                   help="TPU Glynn second-algorithm check of existing "
+                        "rows at one fresh <=2039 prime (for cores past "
+                        "the CPU Glynn frontier); merges into --report")
     args = p.parse_args(argv)
 
     from ..io.matrixmarket import read_any
     from ..ops import exact
     from .real_suite import corpus
+
+    if args.algo2_tpu:
+        return _algo2_tpu(args, read_any, exact, corpus)
 
     if args.reverify:
         # reverify is BY DESIGN a host-only independent reconstruction —
@@ -120,7 +127,10 @@ def main(argv=None):
                "core_n": meta["core_n"], "nprimes": meta.get("nprimes"),
                "k": meta["k"], "value": val, "sign": sign,
                "log2_abs": l2,
-               "numerator": num if len(num) <= 400 else num[:40] + "...",
+               # keep rows self-contained: the cage5-class lifted cores
+               # run to ~2110 bits (~640 digits), and algo2 checks
+               # reconstruct per_core from the stored numerator
+               "numerator": num if len(num) <= 4000 else num[:40] + "...",
                "denominator_log2": meta["k"] * int(a.shape[0]),
                "wall_s": round(time.time() - t0, 2),
                "engine": meta.get("engine")}
@@ -143,6 +153,84 @@ def _glynn_check_prime(exact):
     while not exact._is_prime_u64(c):
         c -= 2
     return c
+
+
+def _merge_report(path, new_rows, extra=None):
+    """Merge per-file rows into the reverify report artifact."""
+    merged, base = {}, {}
+    if os.path.exists(path):
+        try:
+            base = json.load(open(path))
+            merged = {r["file"]: r for r in base.get("rows", [])}
+        except Exception:
+            merged, base = {}, {}
+    for r in new_rows:
+        merged.setdefault(r["file"], {}).update(r)
+    rows_out = [merged[k] for k in sorted(merged)]
+    n_bad = sum(1 for r in rows_out
+                if r.get("crt_match") is False
+                or r.get("glynn_ok") is False
+                or r.get("glynn_tpu_ok") is False)
+    base.update(rows=rows_out, n_match=len(rows_out) - n_bad,
+                n_mismatch=n_bad)
+    if extra:
+        base.update(extra)
+    with open(path, "w") as f:
+        json.dump(base, f, indent=1)
+
+
+def _algo2_tpu(args, read_any, exact, corpus):
+    """TPU Glynn check: reconstruct per_core from a row's stored exact
+    numerator (per_core = numerator / mult, both integers after the
+    2^(k*n) denominator cancels) and compare mod a fresh <=2039 prime
+    against ops/modp.perman_core_glynn_mod — the second-algorithm
+    certificate for cores only the TPU engine can walk (will57 n=49).
+    The fresh prime is primes_mod(nprimes+2)[-1]: deterministically
+    below every prime the certification run consumed."""
+    from fractions import Fraction
+
+    from ..ops import modp
+
+    rows = {}
+    for line in open(args.out):
+        d = json.loads(line)
+        rows[d["file"]] = d
+    paths = {os.path.basename(p): p for p in corpus()}
+    report, bad = [], 0
+    for name, row in sorted(rows.items()):
+        if args.files and not any(s in name for s in args.files):
+            continue
+        if not row.get("engine") or row["engine"] == "fold_only":
+            continue
+        if row["numerator"].endswith("..."):
+            print(f"{name}: numerator truncated in the row — recertify "
+                  f"with the current writer first", flush=True)
+            continue
+        a = np.asarray(read_any(paths[name], 0, 0, 0).mat, np.float64)
+        m, k = exact.dyadic_int_matrix(a)
+        core, mult = exact._fold_lines(m)
+        if not core:
+            continue
+        frac = Fraction(int(row["numerator"]),
+                        1 << row["denominator_log2"])
+        per_core_frac = frac * (1 << (k * a.shape[0])) / mult
+        assert per_core_frac.denominator == 1, name
+        per_core = per_core_frac.numerator
+        pg = modp.primes_mod((row.get("nprimes") or 1) + 2)[-1]
+        t0 = time.time()
+        got = modp.perman_core_glynn_mod(core, pg)
+        ok = bool(got == per_core % pg)
+        bad += not ok
+        print(f"{name}: glynn_tpu={'OK' if ok else 'FAIL'} (p={pg}, "
+              f"core n={len(core)}, {time.time() - t0:.1f} s)",
+              flush=True)
+        report.append({"file": name, "glynn_tpu_ok": ok,
+                       "glynn_tpu_prime": pg,
+                       "glynn_tpu_wall_s": round(time.time() - t0, 1)})
+    if args.report and report:
+        _merge_report(args.report, report)
+    print(f"algo2-tpu: {len(report) - bad} OK, {bad} FAIL", flush=True)
+    return 0 if bad == 0 else 1
 
 
 def _reverify(args, read_any, exact, corpus):
@@ -205,24 +293,10 @@ def _reverify(args, read_any, exact, corpus):
     if args.report:
         # merge-by-file so a flagship re-run with a raised --algo2-iters
         # (chesapeake: 2^38 Glynn iters) folds into the same artifact
-        merged = {}
-        if os.path.exists(args.report):
-            try:
-                old = json.load(open(args.report))
-                merged = {r["file"]: r for r in old.get("rows", [])}
-            except Exception:
-                merged = {}
-        for r in report:
-            merged[r["file"]] = r
-        rows_out = [merged[kk] for kk in sorted(merged)]
-        n_bad = sum(1 for r in rows_out
-                    if not r["crt_match"] or r.get("glynn_ok") is False)
-        with open(args.report, "w") as f:
-            json.dump({"rows": rows_out, "glynn_prime": pg,
-                       "algo2_iters": algo2_iters,
-                       "n_match": len(rows_out) - n_bad,
-                       "n_mismatch": n_bad,
-                       "n_skipped": skipped}, f, indent=1)
+        _merge_report(args.report, report,
+                      extra={"glynn_prime": pg,
+                             "algo2_iters": algo2_iters,
+                             "n_skipped": skipped})
     return 0 if bad == 0 else 1
 
 

@@ -31,6 +31,24 @@ def test_dense_mod_walk_matches_host_twin(rng):
                     == _perman_mod_host(m, p))
 
 
+def test_glynn_mod_walk_matches_host_twin(rng):
+    """TPU Glynn tier (perman_core_glynn_mod): the SAME kernel under
+    the Glynn packing must reproduce the NW host twin at every prime —
+    the interpret-mode pin for the algo2 cross-certification engine."""
+    for n in (2, 3, 5, 8, 13):
+        m = _rand_int_matrix(rng, n, density=0.7)
+        for p in (modp.PRIME_CEIL, 251):
+            assert (modp.perman_core_glynn_mod(m, p, interpret=True)
+                    == _perman_mod_host(m, p))
+    # edge: n == 1 / structurally zero column (cancellation-only zero
+    # for Glynn — no pruning shortcut may fire)
+    assert modp.perman_core_glynn_mod([[7]], 251) == 7
+    z = _rand_int_matrix(rng, 5)
+    for i in range(5):
+        z[i][2] = 0
+    assert modp.perman_core_glynn_mod(z, 251, interpret=True) == 0
+
+
 def test_pruned_mod_walk_matches_exact_dfs(rng):
     tested = 0
     for n in (10, 12):

@@ -327,6 +327,22 @@ def _run_auto(dm: DenseMatrix, flags: Flags, mesh) -> Result:
     diff_rel = abs(res.permanent - fast.permanent) / scale
     # f32k error ~ diff_rel; df64 error ~ diff_rel * 2^-24
     est_df64_err = max(diff_rel * 2.0 ** -24, probe_err)
+    amp_walk_l2 = None
+    if est_df64_err > TARGET and dm.mat.shape[0] <= 41:
+        # escalation candidate: replace the SAMPLED amplitude with the
+        # EXACT amp walk (ops/ryser.amp_walk_log2, |prod| accumulation
+        # at the f32 rate).  The sampled probe's heavy-tail bias
+        # measured 55 bits low on pores_1_r (round-4 real suite), which
+        # made the low-confidence tf96 bound below dishonest by 2^55.
+        # n <= 41 keeps the full dense amp walk under ~1 min; larger
+        # cores keep the sampled floor (documented bias).
+        from ..ops.ryser import amp_walk_log2
+        aw = amp_walk_log2(np.asarray(dm.mat, dtype=np.float64))
+        if np.isfinite(aw):
+            amp_walk_l2 = aw - float(np.log2(scale))
+            amp_l2 = amp_walk_l2
+            est_df64_err = max(diff_rel * 2.0 ** -24,
+                               _exp2_sat(amp_l2 - 48.0))
     if est_df64_err > TARGET:
         # tf96's predicted error from the same two amplification
         # measurements (eff. mantissa ~70 bits vs df64's ~48)
@@ -361,10 +377,20 @@ def _run_auto(dm: DenseMatrix, flags: Flags, mesh) -> Result:
                 return ex
         hi = ryser_exact(dm, dataclasses.replace(flags, calc="tf96"),
                          mesh=mesh)
+        # The bound so far is relative to the DF64 result's magnitude.
+        # On cancellation-bound inputs that scale is itself noise far
+        # above both the truth and the tf96 result (measured pores_1_r:
+        # df64 lands 2^49, tf96 2^32 above the exact value), so a bound
+        # left on the df64 scale understates the error relative to the
+        # VALUE BEING RETURNED by exactly |df64|/|tf96| (2^17 there).
+        # Renormalize the self-reported bound to the returned value.
+        est_rep = est_tf96_err * scale / max(abs(hi.permanent), 1e-300)
         hi.meta["auto"] = {"escalated": "tf96",
                            "df64_err_est": float(f"{est_df64_err:.2e}"),
-                           "err_est": float(f"{est_tf96_err:.2e}")}
-        if est_tf96_err > TARGET:
+                           "err_est": float(f"{est_rep:.2e}")}
+        if amp_walk_l2 is not None:
+            hi.meta["auto"]["amp_walk_l2"] = round(amp_walk_l2, 1)
+        if est_rep > TARGET:
             hi.meta["auto"]["low_confidence"] = True
         hi.time += res.time + fast.time
         return hi

@@ -117,6 +117,76 @@ def colst_pack(a: np.ndarray, n_pad: int):
     return hi, lo
 
 
+def amp_walk_log2(a: np.ndarray, interpret: Optional[bool] = None) -> float:
+    """EXACT log2 of the Ryser cancellation amplitude
+    sum_m |prod_i x_i(m)| over the full 2^(n-1) Gray walk.
+
+    Every fixed-precision walk tier's error is ~amp * 2^-mantissa; the
+    sampled probe (drivers/runner._amp_probe_log2) underestimates
+    heavy-tailed term distributions by 50+ bits (measured: pores_1_r,
+    round-4 real-matrix suite), which made calc="auto"'s self-reported
+    error bounds dishonest exactly on the inputs that need them most.
+    This walk runs the f32+Kahan kernel with |prod| accumulation
+    (ops/ryser_pallas amp=True) — the exact amplitude at the f32 walk
+    rate (~26 G iters/s: ~4% of the df64 walk it diagnoses).  The
+    reference has no analogue: it prints noise on cancellation-bound
+    inputs with no warning (SURVEY §4.3).
+
+    Returns log2(amp); -inf for a structurally zero walk, +inf when the
+    measurement could not be stabilized (callers treat as worst case).
+    """
+    a = np.asarray(a, dtype=np.float64)
+    n = a.shape[0]
+    if n == 0 or not np.all(np.any(a != 0, axis=1)):
+        return float("-inf")            # empty row: every x_i(m) = 0
+    if n < 19:
+        # host-exact: the full index space is tiny; same math as the
+        # sampled probe but exhaustive (and in log space, no overflow)
+        x0 = a[:, -1] - a.sum(axis=1) / 2.0
+        cols = a[:, : n - 1]
+        m = np.arange(1 << (n - 1), dtype=np.uint64)
+        g = m ^ (m >> np.uint64(1))
+        bits = ((g[:, None] >> np.arange(n - 1, dtype=np.uint64))
+                & np.uint64(1)).astype(np.float64)
+        x = x0[None, :] + bits @ cols.T
+        with np.errstate(divide="ignore"):
+            logt = np.where(np.all(x != 0, axis=1),
+                            np.log2(np.abs(x)).sum(axis=1), -np.inf)
+        finite = logt[np.isfinite(logt)]
+        if finite.size == 0:
+            return float("-inf")
+        mx = float(finite.max())
+        return mx + float(np.log2(np.exp2(finite - mx).sum()))
+    from ..parallel.sharding import compute_partials
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    plan = gray.make_plan(n, df=False)
+    B = plan.num_chunks // plan.lanes
+    ids_blocks = np.arange(plan.num_chunks,
+                           dtype=np.int64).astype(np.int32).reshape(
+        B, plan.lanes)
+    scales0 = _center_scales(a, _row_scales(a))
+    shift = 0
+    for _ in range(4):
+        scales = scales0 + shift
+        a_s = np.ldexp(a, -scales[:, None])
+        x0_pair, cols_pair = gray.pack_matrix(a_s, plan.n_pad)
+        cth, ctl = colst_pack(a_s, plan.n_pad)
+        partials = compute_partials(
+            ids_blocks, x0_pair, cols_pair, cth, ctl, plan,
+            df=False, exact_storage=False, mesh=None, kahan=True,
+            interpret=interpret, amp=True)
+        total = float(partials.sum(dtype=np.float64))
+        if np.isfinite(total) and total > 0.0:
+            # row scaling is exact powers of two: amp = total * 2^sum
+            return float(np.log2(total) + scales.sum())
+        if total == 0.0:
+            shift -= max(1, 64 // n)    # underflow: grow the terms
+        else:
+            shift += max(1, 64 // n)    # overflow: shrink the terms
+    return float("inf")
+
+
 def ryser_exact(dense: DenseMatrix, flags, mesh=None,
                 chunk_ids: Optional[np.ndarray] = None) -> Result:
     """Exact permanent of `dense`.

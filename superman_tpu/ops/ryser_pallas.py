@@ -68,10 +68,20 @@ def _ctz(m):
 
 def _walk_scalar(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
                  exact_storage: bool, kahan: bool = False,
-                 tf: bool = False):
+                 tf: bool = False, amp: bool = False):
     """Scalar (per-step ctz) walk over one (n_pad, L) lane block;
     returns the (8, L) f32 output rows.  Bitwise-identical op sequence
-    to the unrolled walk; interpret mode uses this body."""
+    to the unrolled walk; interpret mode uses this body.
+
+    amp: accumulate |prod| with every term sign dropped — the EXACT
+    Ryser cancellation amplitude sum_m |prod_i x_i(m)| at f32 walk rate.
+    The sampled probe (drivers/runner._amp_probe_log2) underestimates
+    heavy-tailed term distributions by 50+ bits (measured: pores_1_r,
+    SUITE_REPORT_REAL round 4); this walk measures the amplitude
+    exactly, so calc="auto"'s self-reported error bounds stay honest.
+    f32(+kahan) only — an amplitude needs ~2 correct bits, not 48."""
+    if amp:
+        assert not df and not tf, "amp walk is f32/f32k only"
     n_pad, L = xhi0.shape
     nb_pad = colst_hi.shape[1]
     lane_k = lax.broadcasted_iota(jnp.int32, (n_pad, nb_pad), 1)
@@ -90,6 +100,8 @@ def _walk_scalar(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
         acc = prod_term(xhi0, xlo0)          # 3-word triple
     else:
         phi, plo = prod_term(xhi0, xlo0)
+        if amp:
+            phi = jnp.abs(phi)
         acc = (phi, plo if df else jnp.zeros_like(phi))
 
     def body(m, carry):
@@ -114,6 +126,9 @@ def _walk_scalar(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
             acc = tfm.tf_add(*acc, t0 * sign_m, t1 * sign_m, t2 * sign_m)
         else:
             phi, plo = prod_term(xhi, xlo)
+            if amp:
+                phi = jnp.abs(phi)
+                sign_m = jnp.float32(1)
             acc_hi, acc_lo = acc
             if df:
                 acc_hi, acc_lo = df64.df_add(acc_hi, acc_lo,
@@ -138,7 +153,8 @@ def _walk_scalar(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
 
 def _ryser_kernel(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
                   colstlo_ref, out_ref, *, df: bool, exact_storage: bool,
-                  kahan: bool = False, tf: bool = False):
+                  kahan: bool = False, tf: bool = False,
+                  amp: bool = False):
     """tf: triple-float (tf96) products + accumulation; requires
     exact_storage (f32-exact x updates)."""
     full_df = df and not exact_storage
@@ -147,7 +163,7 @@ def _ryser_kernel(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
     out_ref[:] = _walk_scalar(
         r_ref[0], xhi0, xlo0, smid_ref[:], colsthi_ref[:],
         colstlo_ref[:] if full_df else None,
-        df=df, exact_storage=exact_storage, kahan=kahan, tf=tf)
+        df=df, exact_storage=exact_storage, kahan=kahan, tf=tf, amp=amp)
 
 
 # Unrolled inner blocks: within an aligned block of U = 2**u steps
@@ -176,14 +192,16 @@ def _static_table(u: int):
 
 def _walk_u16(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
               exact_storage: bool, kahan: bool = False,
-              tf: bool = False, u: int = 4):
+              tf: bool = False, u: int = 4, amp: bool = False):
     """Unrolled walk over one (n_pad, L) lane block; u = log2 of the
     unroll factor (requires the runtime r >= u+1 so the mid step lands
     on a j = 2**u boundary).  Returns the (8, L) f32 output rows.
     r is a RUNTIME scalar: the axon remote Mosaic compiler cannot persist
     executables across processes, so one compiled kernel must serve every
     chunk size (the compile key is (n_pad, L, B, df, exact_storage,
-    kahan, u))."""
+    kahan, u, amp)).  amp: |prod| accumulation — see _walk_scalar."""
+    if amp:
+        assert not df and not tf, "amp walk is f32/f32k only"
     n_pad, L = xhi0.shape
     nb_pad = colst_hi.shape[1]
     full_df = df and not exact_storage
@@ -221,6 +239,8 @@ def _walk_u16(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
                 t0, t1, t2 = -t0, -t1, -t2
             return tfm.tf_add(*acc, t0, t1, t2)
         phi, plo = term
+        if amp:
+            phi, pos = jnp.abs(phi), True
         acc_hi, acc_lo = acc
         if df:
             return df64.df_add(acc_hi, acc_lo,
@@ -261,6 +281,8 @@ def _walk_u16(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
         acc0 = prod_term(xhi0, xlo0)
     else:
         phi, plo = prod_term(xhi0, xlo0)
+        if amp:
+            phi = jnp.abs(phi)
         acc0 = (phi, plo if df else jnp.zeros_like(phi))
     zero_acc = tuple(jnp.zeros_like(a) for a in acc0)
     accs0 = (acc0,) + (zero_acc,) * (K - 1)
@@ -326,7 +348,7 @@ def _walk_u16(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
 def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
                       colstlo_ref, out_ref, *, df: bool,
                       exact_storage: bool, kahan: bool = False,
-                      tf: bool = False, u: int = 4):
+                      tf: bool = False, u: int = 4, amp: bool = False):
     """Single-block unrolled kernel: one (n_pad, L) walk per program."""
     full_df = df and not exact_storage
     xhi0 = xhi_ref[:]
@@ -334,14 +356,15 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
     out_ref[:] = _walk_u16(
         r_ref[0], xhi0, xlo0, smid_ref[:], colsthi_ref[:],
         colstlo_ref[:] if full_df else None,
-        df=df, exact_storage=exact_storage, kahan=kahan, tf=tf, u=u)
+        df=df, exact_storage=exact_storage, kahan=kahan, tf=tf, u=u,
+        amp=amp)
 
 
 def _ryser_kernel_u16_multi(r_ref, xhi_ref, xlo_ref, smid_ref,
                             colsthi_ref, colstlo_ref, out_ref, *,
                             df: bool, exact_storage: bool,
                             kahan: bool = False, tf: bool = False,
-                            u: int = 4):
+                            u: int = 4, amp: bool = False):
     """Multi-block kernel: KB lane blocks walked by ONE program via an
     internal fori_loop.  Per-program launch overhead is ~0.5 ms at
     L=512 (measured: n=32 r=16 B=64 costs 33 ms over B=1), which
@@ -357,7 +380,8 @@ def _ryser_kernel_u16_multi(r_ref, xhi_ref, xlo_ref, smid_ref,
         xlo0 = xlo_ref[b] if full_df else jnp.zeros_like(xhi0)
         out_ref[b] = _walk_u16(
             r_ref[0], xhi0, xlo0, smid_ref[b], colst_hi, colst_lo,
-            df=df, exact_storage=exact_storage, kahan=kahan, tf=tf, u=u)
+            df=df, exact_storage=exact_storage, kahan=kahan, tf=tf, u=u,
+            amp=amp)
         return carry
 
     lax.fori_loop(_I32(0), _I32(KB), body, _I32(0))
@@ -437,12 +461,13 @@ def _weight_out8(o8, w_hi, w_lo, *, df, kahan, tf=False):
 @functools.partial(
     jax.jit,
     static_argnames=("use_u16", "df", "exact_storage", "kahan", "tf", "u",
-                     "interpret", "weighted", "reduce", "allow_multi"))
+                     "interpret", "weighted", "reduce", "allow_multi",
+                     "amp"))
 def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, w_pair=None, *,
                   use_u16: bool, df: bool, exact_storage: bool,
                   kahan: bool, tf: bool, u: int, interpret: bool,
                   weighted: bool = False, reduce: bool = False,
-                  allow_multi: bool = True):
+                  allow_multi: bool = True, amp: bool = False):
     B, n_pad, L = xhi.shape
     flops_per = 2 * n_pad * (10 if df else 1)
     # Multi-block path: KB=32 blocks per program (internal fori_loop)
@@ -455,15 +480,15 @@ def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, w_pair=None, *,
     if KB > 1:
         kern = functools.partial(_ryser_kernel_u16_multi, df=df,
                                  exact_storage=exact_storage,
-                                 kahan=kahan, tf=tf, u=u)
+                                 kahan=kahan, tf=tf, u=u, amp=amp)
     elif use_u16:
         kern = functools.partial(_ryser_kernel_u16, df=df,
                                  exact_storage=exact_storage,
-                                 kahan=kahan, tf=tf, u=u)
+                                 kahan=kahan, tf=tf, u=u, amp=amp)
     else:
         kern = functools.partial(_ryser_kernel, df=df,
                                  exact_storage=exact_storage, kahan=kahan,
-                                 tf=tf)
+                                 tf=tf, amp=amp)
     # One pallas program per (super-)block, sequenced with lax.map rather
     # than a pallas grid (the axon remote Mosaic compiler rejects gridded
     # kernels).  r rides in SMEM so the compile key is shape-only (the
@@ -540,7 +565,7 @@ def _partials_jit(r_arr, xhi, xlo, smid, colst_hi, colst_lo, w_pair=None, *,
 def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
                    exact_storage: bool, kahan: bool = False,
                    tf: bool = False, interpret: bool = False,
-                   w_pair=None, reduce: bool = False):
+                   w_pair=None, reduce: bool = False, amp: bool = False):
     """Run the kernel over a block of chunks.
 
     xhi/xlo: (B, n_pad, L) initialized lane x-vectors (hi/lo pair)
@@ -586,7 +611,7 @@ def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
                          use_u16=use_u16, df=df,
                          exact_storage=exact_storage, kahan=kahan, tf=tf,
                          u=u, interpret=interpret, weighted=weighted,
-                         reduce=reduce, allow_multi=allow_multi)
+                         reduce=reduce, allow_multi=allow_multi, amp=amp)
 
 
 @functools.partial(

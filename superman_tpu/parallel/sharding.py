@@ -90,7 +90,8 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
                      df: bool, exact_storage: bool,
                      mesh: Optional[Mesh] = None, kahan: bool = False,
                      tf: bool = False, interpret: bool = False,
-                     factors=None, reduce_ok: bool = False) -> np.ndarray:
+                     factors=None, reduce_ok: bool = False,
+                     amp: bool = False) -> np.ndarray:
     """Run init + kernel over (B, L) chunk ids, optionally sharded.
 
     factors: optional (fx0_pair, fcols_pair, nf_pad, host_fn) describing
@@ -108,6 +109,8 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
     on a remote-tunnel TPU (~0.9 us/chunk).
     """
     n, n_pad, r = plan.n, plan.n_pad, plan.r
+    if amp:          # diagnostic walk: single-device, unweighted only
+        assert mesh is None and not df and not tf and factors is None
     B = ids_blocks.shape[0]
     nsh = 1 if mesh is None else int(np.prod(mesh.devices.shape))
     # The axon stack kills any single device execution running longer
@@ -128,7 +131,7 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
             ids_blocks[i:i + g], x0_pair, cols_pair, colst_hi,
             colst_lo, plan, df=df, exact_storage=exact_storage,
             mesh=mesh, kahan=kahan, tf=tf, interpret=interpret,
-            factors=factors, reduce_ok=reduce_ok)
+            factors=factors, reduce_ok=reduce_ok, amp=amp)
             for i in range(0, B, g)]
         return np.concatenate(parts, axis=0)
     init_df = df and not exact_storage
@@ -187,7 +190,7 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
         out = ryser_partials(xhi, xlo, smid, args[3], args[4], r=r, df=df,
                              exact_storage=exact_storage, kahan=kahan,
                              tf=tf, interpret=interpret, w_pair=w_pair,
-                             reduce=reduce)
+                             reduce=reduce, amp=amp)
     else:
         num_shards = int(np.prod(mesh.devices.shape))
         b_shard = B // num_shards

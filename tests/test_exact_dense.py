@@ -124,8 +124,14 @@ def test_auto_probe_saturates_past_f64_exponent(rng, monkeypatch):
     the probe's whole reason to exist) must saturate to inf and
     escalate, not raise OverflowError from a bare 2.0**e."""
     from superman_tpu.drivers import runner
+    from superman_tpu.ops import ryser as ryser_mod
     monkeypatch.setattr(runner, "_amp_probe_log2",
                         lambda a, samples=256, seed=0xA3: 3000.0)
+    # escalation candidates re-measure via the EXACT amp walk (round 4);
+    # pin it to the same saturating value so the inf path is the one
+    # under test end to end
+    monkeypatch.setattr(ryser_mod, "amp_walk_log2",
+                        lambda a, interpret=None: 3000.0)
     a = random_int_matrix(rng, 10, 0.9, vmax=5)
     r = sp.permanent(a, calc="auto")          # must not raise
     assert r.meta["auto"]["escalated"] in ("tf96", "exact")
@@ -165,3 +171,48 @@ def test_auto_failed_probe_runs_companion():
     assert not np.isfinite(_amp_probe_log2(a))
     r = sp.permanent(a, calc="auto", chunk_log2=6, lanes=256)
     assert r.meta["auto"].get("probe_only") is not True
+
+
+def _amp_brute_log2(a):
+    """Independent exhaustive amplitude: log2 sum_m |prod_i x_i(m)|."""
+    a = np.asarray(a, np.float64)
+    n = a.shape[0]
+    x0 = a[:, -1] - a.sum(axis=1) / 2.0
+    cols = a[:, : n - 1]
+    m = np.arange(1 << (n - 1), dtype=np.uint64)
+    g = m ^ (m >> np.uint64(1))
+    bits = ((g[:, None] >> np.arange(n - 1, dtype=np.uint64))
+            & np.uint64(1)).astype(np.float64)
+    x = x0[None, :] + bits @ cols.T
+    with np.errstate(divide="ignore"):
+        logt = np.where(np.all(x != 0, axis=1),
+                        np.log2(np.abs(x)).sum(axis=1), -np.inf)
+    fin = logt[np.isfinite(logt)]
+    mx = float(fin.max())
+    return mx + float(np.log2(np.exp2(fin - mx).sum()))
+
+
+def test_amp_walk_host_path_matches_brute(rng):
+    """n < 19 host path of the exact amplitude walk."""
+    from superman_tpu.ops.ryser import amp_walk_log2
+    a = random_float_matrix(rng, 14, 0.7)
+    assert amp_walk_log2(a) == pytest.approx(_amp_brute_log2(a), abs=1e-9)
+
+
+def test_amp_walk_kernel_matches_brute(rng):
+    """The pallas amp walk (|prod| accumulation, f32+Kahan) reproduces
+    the exhaustive amplitude: n = 20 exercises the kernel path
+    (interpret mode on CPU), brute reference is exhaustive host f64.
+    f32 products bound log2 agreement at ~n * 2^-24."""
+    from superman_tpu.ops.ryser import amp_walk_log2
+    a = random_float_matrix(rng, 20, 0.6)
+    got = amp_walk_log2(a)
+    want = _amp_brute_log2(a)
+    assert got == pytest.approx(want, abs=1e-4)
+
+
+def test_amp_walk_structural_zero():
+    from superman_tpu.ops.ryser import amp_walk_log2
+    a = np.ones((6, 6))
+    a[2, :] = 0.0
+    assert amp_walk_log2(a) == float("-inf")

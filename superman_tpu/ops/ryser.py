@@ -22,10 +22,20 @@ from .df64 import split_f64
 
 def _exact_storage(dense: DenseMatrix) -> bool:
     """True when matrix values and the half-integer x walk are exact in f32
-    (the int suites): f32 updates are then error-free."""
-    if dense.type != "int":
+    (the int suites): f32 updates are then error-free.
+
+    Decided on the VALUES, not the declared storage class: a float64
+    matrix holding small integers (pattern .mtx files like chesapeake,
+    int suites read with -w) walks identically to an "int"-typed one, and
+    the declared-type gate silently downgraded its df64 path to the
+    full-pair walk and its tf96 tier to a df64 fallback (round-5 fix —
+    tf96's product tree needs exact-f32 x, ryser_pallas.py)."""
+    a = np.asarray(dense.mat)
+    if a.dtype == np.longdouble:
+        return False                  # -v storage keeps long-double bits
+    a = a.astype(np.float64)
+    if dense.type != "int" and not np.all(a == np.round(a)):
         return False
-    a = dense.mat.astype(np.float64)
     return bool(np.max(np.abs(a).sum(axis=1), initial=0.0) < 2 ** 22)
 
 
@@ -117,46 +127,64 @@ def colst_pack(a: np.ndarray, n_pad: int):
     return hi, lo
 
 
-def amp_walk_log2(a: np.ndarray, interpret: Optional[bool] = None) -> float:
-    """EXACT log2 of the Ryser cancellation amplitude
-    sum_m |prod_i x_i(m)| over the full 2^(n-1) Gray walk.
+def amp_cond_walk_log2(a: np.ndarray,
+                       interpret: Optional[bool] = None) -> tuple:
+    """EXACT log2 of (amp, cond): the Ryser cancellation amplitude
+    sum_m |prod_i x_i(m)| and its WITHIN-LINE conditioned companion
+    sum_m sum_i S_i * prod_{j!=i} |x_j(m)| over the full 2^(n-1) walk
+    (S_i = row i's x-amplitude bound — the per-row error carrier scale).
 
-    Every fixed-precision walk tier's error is ~amp * 2^-mantissa; the
-    sampled probe (drivers/runner._amp_probe_log2) underestimates
-    heavy-tailed term distributions by 50+ bits (measured: pores_1_r,
-    round-4 real-matrix suite), which made calc="auto"'s self-reported
-    error bounds dishonest exactly on the inputs that need them most.
-    This walk runs the f32+Kahan kernel with |prod| accumulation
-    (ops/ryser_pallas amp=True) — the exact amplitude at the f32 walk
-    rate (~26 G iters/s: ~4% of the df64 walk it diagnoses).  The
+    Every fixed-precision walk tier's ACCUMULATION error is
+    ~amp * 2^-mantissa; its x-UPDATE error (absent only on exact-f32
+    integer storage) is ~cond * 2^-mantissa_x — a line passing near
+    zero mid-walk divides its carried error by |x_i|, which the plain
+    amplitude cannot see (measured: pores_1_r under-predicted by ~2^27,
+    round-4 real suite).  The sampled probe
+    (drivers/runner._amp_probe_log2) additionally underestimates
+    heavy-tailed term distributions by 50+ bits; this walk runs the
+    f32+Kahan kernel with |prod| + conditioned accumulation
+    (ops/ryser_pallas amp=True) — exact at the f32 walk rate.  The
     reference has no analogue: it prints noise on cancellation-bound
     inputs with no warning (SURVEY §4.3).
 
-    Returns log2(amp); -inf for a structurally zero walk, +inf when the
-    measurement could not be stabilized (callers treat as worst case).
+    Returns (log2 amp, log2 cond); (-inf, -inf) for a structurally zero
+    walk, (+inf, +inf) when the measurement could not be stabilized
+    (callers treat as worst case).  Per-line condition saturates at
+    2^45 on the kernel path (pair-x updates, ryser_pallas._AMP_EPS)
+    and 2^50 on the host path — both far past any float tier's escape
+    hatch (a bound >= 2^-3 relative already reads "no correct digits").
     """
     a = np.asarray(a, dtype=np.float64)
     n = a.shape[0]
     if n == 0 or not np.all(np.any(a != 0, axis=1)):
-        return float("-inf")            # empty row: every x_i(m) = 0
+        return float("-inf"), float("-inf")  # empty row: every x_i(m) = 0
     if n < 19:
         # host-exact: the full index space is tiny; same math as the
         # sampled probe but exhaustive (and in log space, no overflow)
         x0 = a[:, -1] - a.sum(axis=1) / 2.0
         cols = a[:, : n - 1]
+        S = np.abs(x0) + np.abs(cols).sum(axis=1)    # row amplitude
         m = np.arange(1 << (n - 1), dtype=np.uint64)
         g = m ^ (m >> np.uint64(1))
         bits = ((g[:, None] >> np.arange(n - 1, dtype=np.uint64))
                 & np.uint64(1)).astype(np.float64)
         x = x0[None, :] + bits @ cols.T
+        ax = np.abs(x)
         with np.errstate(divide="ignore"):
-            logt = np.where(np.all(x != 0, axis=1),
-                            np.log2(np.abs(x)).sum(axis=1), -np.inf)
-        finite = logt[np.isfinite(logt)]
-        if finite.size == 0:
-            return float("-inf")
-        mx = float(finite.max())
-        return mx + float(np.log2(np.exp2(finite - mx).sum()))
+            logt = np.where(np.all(ax != 0, axis=1),
+                            np.log2(ax).sum(axis=1), -np.inf)
+        axc = np.maximum(ax, S[None, :] * 2.0 ** -50)
+        logc = (np.log2(axc).sum(axis=1)
+                + np.log2((S[None, :] / axc).sum(axis=1)))
+
+        def _lse2(v):
+            fin = v[np.isfinite(v)]
+            if fin.size == 0:
+                return float("-inf")
+            mx = float(fin.max())
+            return mx + float(np.log2(np.exp2(fin - mx).sum()))
+
+        return _lse2(logt), _lse2(logc)
     from ..parallel.sharding import compute_partials
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -165,10 +193,20 @@ def amp_walk_log2(a: np.ndarray, interpret: Optional[bool] = None) -> float:
     ids_blocks = np.arange(plan.num_chunks,
                            dtype=np.int64).astype(np.int32).reshape(
         B, plan.lanes)
-    scales0 = _center_scales(a, _row_scales(a))
+    # The kernel's conditioned accumulator assumes every scaled row has
+    # amplitude ~1 (its effective S_i is 2^scale_i), so any centering or
+    # retry shift must be UNIFORM across rows — a per-row adjustment
+    # would silently shrink the S_i weights (measured ~1 bit low with
+    # _center_scales' remainder distribution; up to 2^(60/n) with its
+    # full delta).  The uniform offset c is added back to the cond
+    # recovery below.
+    s_raw = _row_scales(a)
+    cs = _center_scales(a, s_raw)
+    c0 = int(np.ceil(np.mean(s_raw - cs)))   # uniform centering amount
     shift = 0
     for _ in range(4):
-        scales = scales0 + shift
+        c = c0 + shift
+        scales = s_raw - c
         a_s = np.ldexp(a, -scales[:, None])
         x0_pair, cols_pair = gray.pack_matrix(a_s, plan.n_pad)
         cth, ctl = colst_pack(a_s, plan.n_pad)
@@ -176,15 +214,26 @@ def amp_walk_log2(a: np.ndarray, interpret: Optional[bool] = None) -> float:
             ids_blocks, x0_pair, cols_pair, cth, ctl, plan,
             df=False, exact_storage=False, mesh=None, kahan=True,
             interpret=interpret, amp=True)
-        total = float(partials.sum(dtype=np.float64))
-        if np.isfinite(total) and total > 0.0:
-            # row scaling is exact powers of two: amp = total * 2^sum
-            return float(np.log2(total) + scales.sum())
+        total = float(partials[0].sum(dtype=np.float64))
+        cond = float(partials[1].sum(dtype=np.float64))
+        if np.isfinite(total) and total > 0.0 and np.isfinite(cond):
+            # row scaling is exact powers of two; the amplitude recovers
+            # by 2^sum(scales), the conditioned total by an extra 2^c
+            # (each row's true amplitude weight is 2^s_raw_i = 2^c times
+            # the kernel's unit assumption)
+            ssum = int(scales.sum())
+            return (float(np.log2(total) + ssum),
+                    float(np.log2(cond) + ssum + c))
         if total == 0.0:
-            shift -= max(1, 64 // n)    # underflow: grow the terms
+            shift += max(1, 64 // n)    # underflow: grow the terms
         else:
-            shift += max(1, 64 // n)    # overflow: shrink the terms
-    return float("inf")
+            shift -= max(1, 64 // n)    # overflow: shrink the terms
+    return float("inf"), float("inf")
+
+
+def amp_walk_log2(a: np.ndarray, interpret: Optional[bool] = None) -> float:
+    """log2 of the exact Ryser amplitude alone (see amp_cond_walk_log2)."""
+    return amp_cond_walk_log2(a, interpret=interpret)[0]
 
 
 def ryser_exact(dense: DenseMatrix, flags, mesh=None,

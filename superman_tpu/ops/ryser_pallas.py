@@ -51,6 +51,38 @@ from .df64 import tree_prod_f32, tree_prod_df64
 
 _I32 = jnp.int32
 
+#: amp-walk within-line clamp: |x| below 2^-45 (at the unit row scale)
+#: reads as 2^-45, so per-line condition saturates at 2^45.  The amp
+#: walk maintains x as a df64 PAIR (resolution ~2^-48 * row amplitude)
+#: exactly so crossings are resolved this far; conditions beyond 2^45
+#: put every float tier's bound at >= 2^-3 relative — "no correct
+#: digits" is already the honest report there, saturated or not.
+_AMP_EPS = 2.0 ** -45
+
+
+def _amp_terms(xhi):
+    """(|prod x|, conditioned term) for one step of the amp walk.
+
+    The conditioned term sum_i prod_{j!=i} |x_j| (clamped) is the
+    per-term weight of the walk's WITHIN-LINE rounding error: an x_i
+    that passes near zero mid-walk divides its carried absolute error
+    (~row-amplitude * 2^-mantissa) by |x_i|, which the plain amplitude
+    sum_m |prod| cannot see (measured: pores_1_r, round-4 real suite —
+    the amp model under-predicted the df64 walk's true error by ~2^27).
+    Computed as prod(max(|x|, eps)) * sum(1/max(|x|, eps)) so a line AT
+    zero still contributes its prod_{j!=i} term (the error term that
+    remains when the true term vanishes).  Identity padding rows
+    (x == 1) overcount the sum by (n_pad - rows) — conservative, <= 2x.
+    xhi is the hi word of the pair-x walk (lo <= ulp(hi), irrelevant at
+    the ~2-bit accuracy an amplitude needs).
+    """
+    ax = jnp.abs(xhi)
+    axc = jnp.maximum(ax, jnp.float32(_AMP_EPS))
+    phi = tree_prod_f32(ax)
+    phic = tree_prod_f32(axc)
+    sinv = jnp.sum(jnp.float32(1.0) / axc, axis=0, keepdims=True)
+    return phi, phic * sinv
+
 
 def _ctz(m):
     """Count trailing zeros of a positive int32 scalar (< 2**31) via mask
@@ -74,12 +106,15 @@ def _walk_scalar(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
     to the unrolled walk; interpret mode uses this body.
 
     amp: accumulate |prod| with every term sign dropped — the EXACT
-    Ryser cancellation amplitude sum_m |prod_i x_i(m)| at f32 walk rate.
+    Ryser cancellation amplitude sum_m |prod_i x_i(m)| — plus the
+    within-line conditioned amplitude (_amp_terms) in output rows 2/3.
     The sampled probe (drivers/runner._amp_probe_log2) underestimates
     heavy-tailed term distributions by 50+ bits (measured: pores_1_r,
-    SUITE_REPORT_REAL round 4); this walk measures the amplitude
+    SUITE_REPORT_REAL round 4); this walk measures both statistics
     exactly, so calc="auto"'s self-reported error bounds stay honest.
-    f32(+kahan) only — an amplitude needs ~2 correct bits, not 48."""
+    x rides as a df64 pair (to resolve near-zero crossings to the
+    clamp, see _AMP_EPS); products/accumulators stay f32+Kahan — an
+    amplitude needs ~2 correct bits, not 48."""
     if amp:
         assert not df and not tf, "amp walk is f32/f32k only"
     n_pad, L = xhi0.shape
@@ -98,10 +133,11 @@ def _walk_scalar(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
     # m = 0 term: base index is even -> sign +1
     if tf:
         acc = prod_term(xhi0, xlo0)          # 3-word triple
+    elif amp:
+        phi, cond = _amp_terms(xhi0)
+        acc = (phi, jnp.zeros_like(phi), cond, jnp.zeros_like(cond))
     else:
         phi, plo = prod_term(xhi0, xlo0)
-        if amp:
-            phi = jnp.abs(phi)
         acc = (phi, plo if df else jnp.zeros_like(phi))
 
     def body(m, carry):
@@ -114,7 +150,7 @@ def _walk_scalar(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
         s_row = jnp.where(k == r - _I32(1), smid, s_scalar)   # (1, L)
         sel = (lane_k == k).astype(jnp.float32)
         ck_hi = jnp.sum(colst_hi * sel, axis=1, keepdims=True)  # (n_pad, 1)
-        if df and not exact_storage:
+        if (df or amp) and not exact_storage:
             ck_lo = jnp.sum(colst_lo * sel, axis=1, keepdims=True)
             xhi, xlo = df64.df_add(xhi, xlo, ck_hi * s_row, ck_lo * s_row)
         else:
@@ -124,11 +160,13 @@ def _walk_scalar(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
         if tf:
             t0, t1, t2 = prod_term(xhi, xlo)
             acc = tfm.tf_add(*acc, t0 * sign_m, t1 * sign_m, t2 * sign_m)
+        elif amp:
+            phi, cond = _amp_terms(xhi)
+            ahi, e = df64.two_sum(acc[0], phi)
+            chi, e2 = df64.two_sum(acc[2], cond)
+            acc = (ahi, acc[1] + e, chi, acc[3] + e2)
         else:
             phi, plo = prod_term(xhi, xlo)
-            if amp:
-                phi = jnp.abs(phi)
-                sign_m = jnp.float32(1)
             acc_hi, acc_lo = acc
             if df:
                 acc_hi, acc_lo = df64.df_add(acc_hi, acc_lo,
@@ -157,7 +195,7 @@ def _ryser_kernel(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
                   amp: bool = False):
     """tf: triple-float (tf96) products + accumulation; requires
     exact_storage (f32-exact x updates)."""
-    full_df = df and not exact_storage
+    full_df = (df or amp) and not exact_storage
     xhi0 = xhi_ref[:]
     xlo0 = xlo_ref[:] if full_df else jnp.zeros_like(xhi0)
     out_ref[:] = _walk_scalar(
@@ -204,7 +242,7 @@ def _walk_u16(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
         assert not df and not tf, "amp walk is f32/f32k only"
     n_pad, L = xhi0.shape
     nb_pad = colst_hi.shape[1]
-    full_df = df and not exact_storage
+    full_df = (df or amp) and not exact_storage
     lane_k = lax.broadcasted_iota(jnp.int32, (n_pad, nb_pad), 1)
 
     # static columns k = 0..u-1 as (n_pad, 1) slices
@@ -214,6 +252,8 @@ def _walk_u16(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
     def prod_term(xhi, xlo):
         if tf:
             return tfm.tree_prod_tf96(xhi)
+        if amp:
+            return _amp_terms(xhi)
         if not df:
             return tree_prod_f32(xhi), None
         if exact_storage:
@@ -238,9 +278,12 @@ def _walk_u16(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
             if not pos:
                 t0, t1, t2 = -t0, -t1, -t2
             return tfm.tf_add(*acc, t0, t1, t2)
-        phi, plo = term
         if amp:
-            phi, pos = jnp.abs(phi), True
+            phi, cond = term
+            ahi, e = df64.two_sum(acc[0], phi)
+            chi, e2 = df64.two_sum(acc[2], cond)
+            return (ahi, acc[1] + e, chi, acc[3] + e2)
+        phi, plo = term
         acc_hi, acc_lo = acc
         if df:
             return df64.df_add(acc_hi, acc_lo,
@@ -279,10 +322,11 @@ def _walk_u16(r, xhi0, xlo0, smid, colst_hi, colst_lo, *, df: bool,
     # m = 0 term: base index is even -> sign +1
     if tf:
         acc0 = prod_term(xhi0, xlo0)
+    elif amp:
+        phi, cond = prod_term(xhi0, xlo0)
+        acc0 = (phi, jnp.zeros_like(phi), cond, jnp.zeros_like(cond))
     else:
         phi, plo = prod_term(xhi0, xlo0)
-        if amp:
-            phi = jnp.abs(phi)
         acc0 = (phi, plo if df else jnp.zeros_like(phi))
     zero_acc = tuple(jnp.zeros_like(a) for a in acc0)
     accs0 = (acc0,) + (zero_acc,) * (K - 1)
@@ -350,7 +394,7 @@ def _ryser_kernel_u16(r_ref, xhi_ref, xlo_ref, smid_ref, colsthi_ref,
                       exact_storage: bool, kahan: bool = False,
                       tf: bool = False, u: int = 4, amp: bool = False):
     """Single-block unrolled kernel: one (n_pad, L) walk per program."""
-    full_df = df and not exact_storage
+    full_df = (df or amp) and not exact_storage
     xhi0 = xhi_ref[:]
     xlo0 = xlo_ref[:] if full_df else jnp.zeros_like(xhi0)
     out_ref[:] = _walk_u16(
@@ -371,7 +415,7 @@ def _ryser_kernel_u16_multi(r_ref, xhi_ref, xlo_ref, smid_ref,
     dominates short-chunk (pruned sparse) launches; KB=32 amortizes it
     ~32x.  VMEM holds all KB blocks (~5 MB at KB=32, n_pad=40, L=512)."""
     KB = xhi_ref.shape[0]
-    full_df = df and not exact_storage
+    full_df = (df or amp) and not exact_storage
     colst_hi = colsthi_ref[:]
     colst_lo = colstlo_ref[:] if full_df else None
 
@@ -598,7 +642,7 @@ def ryser_partials(xhi, xlo, smid, colst_hi, colst_lo, *, r: int, df: bool,
     # Measured on n=32: f32/f32k keep gaining up to 128-step blocks
     # (19.6 -> 27.4 G iters/s); df64 is compute-bound and flat, so it
     # keeps the small body (faster Mosaic compiles).
-    full_df = df and not exact_storage
+    full_df = (df or amp) and not exact_storage
     # full-df and tf bodies are the largest (pair/triple-product trees);
     # cap their unroll to keep Mosaic compile time reasonable
     u = min(4 if (full_df or tf) else (5 if df else 7), r - 1) \

@@ -133,8 +133,10 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
             mesh=mesh, kahan=kahan, tf=tf, interpret=interpret,
             factors=factors, reduce_ok=reduce_ok, amp=amp)
             for i in range(0, B, g)]
-        return np.concatenate(parts, axis=0)
-    init_df = df and not exact_storage
+        return np.concatenate(parts, axis=1 if amp else 0)
+    # amp mode walks x as a df64 pair (near-zero crossings resolved to
+    # the conditioned-amplitude clamp, ryser_pallas._AMP_EPS)
+    init_df = (df or amp) and not exact_storage
     # Sentinel (-1) lanes are NOT self-zeroing when n_pad == n: chunk_init
     # zeroes their x, but the walk re-adds column values to every row, and
     # without an all-zero pad row the products come back nonzero (measured
@@ -216,6 +218,14 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
                  jnp.asarray(fx0), jnp.asarray(fcols))
         if factors is not None and not weighted:
             host_weights = factors[3](ids_blocks)
+    if amp:
+        # amp walk: rows 0/1 = amplitude (hi, kahan-lo), rows 2/3 = the
+        # within-line conditioned amplitude — returned as (2, B, L)
+        out = np.asarray(out[:, :4, :], dtype=np.float64)
+        p = np.stack([out[:, 0] + out[:, 1], out[:, 2] + out[:, 3]])
+        if has_dead:
+            p = p * (ids_blocks >= 0).astype(p.dtype)[None]
+        return p
     rows = 3 if tf else 2
     out = out[:, :rows, :]                  # device slice: small D2H
     if tf:

@@ -338,6 +338,11 @@ def ryser_exact(dense: DenseMatrix, flags, mesh=None,
             n_pad = (max(8, -(-len(sp.alive_rows) // 8) * 8)
                      if factor_rows is not None else gray.pad_n(n))
             lanes_t = min(flags.lanes or 1024, 512 if (df or tf) else 1024)
+            # sharded pruned walks shrink L so the >= 1 block/shard
+            # floor doesn't walk mostly-dead lanes (round-4 verdict
+            # weak #3: 48% useful at 64 shards with fixed L=512)
+            from ..parallel.sharding import sparse_lanes
+            lanes_t = sparse_lanes(len(sp.ids), num_shards, lanes_t)
             nchunks = 1 << (n - 1 - sp.r)
             plan = gray.RyserPlan(n=n, n_pad=n_pad, r=sp.r,
                                   lanes=min(lanes_t, nchunks),

@@ -439,7 +439,11 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
             # on the same input with no warning at all.  Inconsistent
             # detection (one seed degenerate, one confident) stays FAIL.
             degenerate = bool(min(s1, s2) >= 0.5)
-            if not ok and degenerate:
+            # the override only excuses SEED DISAGREEMENT; ok may also be
+            # False because an estimate was NaN/-inf, and a non-finite
+            # "estimate" is a failure regardless of self-reported
+            # degeneracy (round-4 advisor finding #2)
+            if not ok and degenerate and np.isfinite(l1) and np.isfinite(l2):
                 ok = True
             row = {**base, "class": "C", "config": "estimator_x2",
                    "log2_value": l1, "log2_value2": l2,

@@ -73,15 +73,19 @@ def quantization_table(n: int, density: float, seed: int = 0,
     rows = []
     if sp_plan is None:
         return {"n": n, "density": density, "note": "planner declined"}, rows
-    L = 512
+    from superman_tpu.parallel.sharding import sparse_lanes
     live = len(sp_plan.ids)
     for s in shards:
+        # mirror the engine exactly: shard-aware lane width + per-shard
+        # block_multiple rounding (ops/ryser.py sparse branch)
+        L = sparse_lanes(live, s, 512)
         blocks = pad_ids(sp_plan.ids.astype(np.int32), L, s,
                          block_multiple=32)
         per_shard = blocks.shape[0] // s
         live_per = [(blocks[i * per_shard:(i + 1) * per_shard] >= 0).sum()
                     for i in range(s)]
-        rows.append({"shards": s, "blocks": int(blocks.shape[0]),
+        rows.append({"shards": s, "lanes": int(L),
+                     "blocks": int(blocks.shape[0]),
                      "blocks_per_shard": int(per_shard),
                      "useful_frac": round(live / (blocks.size), 4),
                      "live_lane_min": int(min(live_per)),

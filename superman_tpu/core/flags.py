@@ -46,7 +46,12 @@ class Flags:
 
     # ---- approximation parameters (flags.h:80-89) ----
     number_of_times: int = 100000  # -x : Monte-Carlo trials
-    scale_intervals: int = 4       # -y
+    #: -y; -1 = auto: the SMC estimator selects scale_intervals by
+    #: cross-population agreement (ops/approx._select_si — the round-4
+    #: flagship needed a hand-picked si=2 against a si=4 proposal bias
+    #: of ~-3 bits); the per-trial path resolves -1 to the reference
+    #: default 4 (flags.h -y).  The CLI still passes 4 explicitly.
+    scale_intervals: int = -1
     scale_times: int = 5           # -z
 
     # ---- preprocessing / transforms (flags.h:90-103) ----

@@ -277,10 +277,15 @@ def _smc_population(key, a, nz, dr0, dc0, *, n, scale_intervals,
 
 
 def smc_estimate(a: np.ndarray, flags, *, pops: int = 8,
-                 every: int = 8) -> tuple:
+                 every: int = 8, si: int = None,
+                 seed: int = None) -> tuple:
     """per(A) by `pops` independent SMC populations; returns
-    (est_log2_values list, zeros_fraction, particles_total)."""
+    (est_log2_values list, zeros_fraction, particles_total).
+    si overrides flags.scale_intervals (the auto-selector's probe);
+    seed overrides flags.seed (extra populations after selection)."""
     n = a.shape[0]
+    if si is None:
+        si = _si(flags)
     trials = int(flags.number_of_times)
     B = max(256, min(1 << 12, -(-trials // pops)))
     nz = jnp.asarray(a != 0, jnp.float32)
@@ -292,13 +297,13 @@ def smc_estimate(a: np.ndarray, flags, *, pops: int = 8,
     sc = scalesk(np.abs(a), 1.0, max_iters=200)
     dr0 = jnp.asarray(np.abs(sc.r_v), jnp.float32)
     dc0 = jnp.asarray(np.abs(sc.c_v), jnp.float32)
-    key = jax.random.PRNGKey(int(flags.seed))
+    key = jax.random.PRNGKey(int(flags.seed if seed is None else seed))
     logzs, dead_frac = [], []
     for p in range(pops):
         key, sub = jax.random.split(key)
         lmeans, logw, dead = _smc_population(
             sub, aj, nz, dr0, dc0, n=n,
-            scale_intervals=int(flags.scale_intervals),
+            scale_intervals=int(si),
             scale_times=int(flags.scale_times), B=B, every=every)
         lmeans = np.asarray(lmeans, np.float64)
         logw = np.asarray(logw, np.float64)
@@ -347,13 +352,76 @@ def _sharded_batch(mesh, algo, n, scale_intervals, scale_times):
     return jax.jit(f)
 
 
+def _pop_stats(logzs):
+    """(est_log2, stderr_rel) across a population list (linear-space
+    mean, log2 reported; same math as the driver below)."""
+    lz = np.asarray(logzs, np.float64)
+    mx = float(np.max(lz))
+    if not np.isfinite(mx):
+        return -np.inf, 0.0
+    zs = np.exp2(lz - mx)
+    est_l2 = mx + float(np.log2(np.mean(zs)))
+    sr = float(np.std(zs, ddof=1) / (np.mean(zs) * np.sqrt(len(zs))))
+    return est_l2, sr
+
+
+def _select_si(a: np.ndarray, flags, cands=(2, 4), probe_pops: int = 2):
+    """Auto-select scale_intervals by cross-candidate agreement.
+
+    The round-4 flagship (36x36 grid, n=648) needed a HAND-PICKED si=2:
+    si=4 carries a proposal bias of ~-3 bits (z = -3.0/-3.5 vs the
+    Kasteleyn truth, DEMO.md) that no single-candidate diagnostic sees.
+    SIS/SMC degeneracy biases the LOG estimate downward (E[log Z] <=
+    log E[Z], and the gap grows with weight degeneracy), so when two
+    candidates disagree significantly the HIGHER log2 estimate is the
+    less-biased one; within noise, the smaller cross-population
+    stderr wins.  The probe populations are real populations and are
+    reused in the winner's final estimate (only the loser's probe cost
+    is overhead).  Reference anchor: gpu_approximation_dense.cu:281-324
+    (scale_intervals is a blind CLI constant there).
+
+    Returns (winner_si, winner_probe_logzs, probe_meta).
+    """
+    stats = {}
+    for c in cands:
+        logzs, _, _ = smc_estimate(a, flags, pops=probe_pops, si=c)
+        stats[c] = (_pop_stats(logzs), logzs)
+    ln2 = float(np.log(2.0))
+    (eA, sA), lzA = stats[cands[0]]
+    (eB, sB), lzB = stats[cands[1]]
+    sig = ((sA / ln2) ** 2 + (sB / ln2) ** 2) ** 0.5
+    if np.isfinite(eA) and not np.isfinite(eB):
+        win = cands[0]
+    elif np.isfinite(eB) and not np.isfinite(eA):
+        win = cands[1]
+    elif np.isfinite(eA) and abs(eA - eB) > 2.0 * max(sig, 0.3):
+        win = cands[0] if eA > eB else cands[1]
+    else:
+        win = cands[0] if sA <= sB else cands[1]
+    meta = {"candidates": {str(c): {"log2": round(s[0], 3),
+                                    "stderr_rel": round(s[1], 4)}
+                           for c, (s, _) in stats.items()},
+            "picked": win}
+    return win, stats[win][1], meta
+
+
 def _approximate_smc(a: np.ndarray, flags) -> Result:
     """Driver for the SMC population estimator: K independent
     populations give the estimate AND an honest stderr across
     populations (each population's Z is itself unbiased)."""
     t0 = _time.perf_counter()
     pops = 8
-    logzs, dead_frac, total = smc_estimate(a, flags, pops=pops)
+    si = int(flags.scale_intervals)
+    si_meta = None
+    if si <= 0:
+        si, probe_lz, si_meta = _select_si(a, flags)
+        logzs, dead_frac, total = smc_estimate(
+            a, flags, pops=pops - len(probe_lz), si=si,
+            seed=int(flags.seed) + 7717)
+        logzs = list(probe_lz) + list(logzs)
+        total = total * pops // max(1, pops - len(probe_lz))
+    else:
+        logzs, dead_frac, total = smc_estimate(a, flags, pops=pops, si=si)
     lz = np.asarray(logzs, np.float64)
     mx = float(np.max(lz))
     if not np.isfinite(mx):
@@ -374,12 +442,21 @@ def _approximate_smc(a: np.ndarray, flags) -> Result:
                   zeros=int(dead_frac * total),
                   iterations=total,
                   meta={"trials": total, "populations": pops,
-                        "scale_intervals": flags.scale_intervals,
+                        "scale_intervals": si,
                         "scale_times": flags.scale_times,
                         "stderr": stderr, "stderr_rel": stderr_rel,
                         "log2_estimate": est_l2,
                         "pop_log2": [float(v) for v in lz],
-                        "cpu_trials": 0})
+                        "cpu_trials": 0,
+                        **({"si_auto": si_meta} if si_meta else {})})
+
+
+def _si(flags) -> int:
+    """Resolve scale_intervals: -1 (auto) means the SMC selector for
+    the population estimator; the per-trial reference path resolves it
+    to the reference default 4 (flags.h -y)."""
+    v = int(flags.scale_intervals)
+    return v if v > 0 else 4
 
 
 def approximate(dense: DenseMatrix, flags) -> Result:
@@ -411,7 +488,7 @@ def approximate(dense: DenseMatrix, flags) -> Result:
     mesh = mesh_for_flags(flags)
     nshards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     if nshards > 1:
-        fn = _sharded_batch(mesh, algo, n, int(flags.scale_intervals),
+        fn = _sharded_batch(mesh, algo, n, _si(flags),
                             int(flags.scale_times))
     # log2-space accumulation: grid-scale estimates (36x36 -> counts
     # ~2^530, values ~2^1000+ possible) overflow float64 sums/squares;
@@ -467,7 +544,7 @@ def approximate(dense: DenseMatrix, flags) -> Result:
                                               ctypes.byref(z))
                     else:
                         m = lib.sup_approx_scaling(
-                            an, n, t, int(flags.scale_intervals),
+                            an, n, t, _si(flags),
                             int(flags.scale_times), int(flags.threads),
                             seed, ctypes.byref(z))
                     cpu_state["sum"] += m * t
@@ -491,7 +568,7 @@ def approximate(dense: DenseMatrix, flags) -> Result:
         else:
             logs, dead = _run_batch(
                 keys, aj, nz, algo=algo, n=n,
-                scale_intervals=int(flags.scale_intervals),
+                scale_intervals=_si(flags),
                 scale_times=int(flags.scale_times))
         logs = np.asarray(logs, np.float64)[:b]
         dead = np.asarray(dead)[:b]
@@ -530,7 +607,7 @@ def approximate(dense: DenseMatrix, flags) -> Result:
                   algo_name=name, zeros=zeros,
                   iterations=done,
                   meta={"trials": done, "scale_intervals":
-                        flags.scale_intervals, "scale_times":
+                        _si(flags), "scale_times":
                         flags.scale_times,
                         "stderr": stderr,
                         "cpu_trials": cpu_state["trials"]})

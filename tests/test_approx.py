@@ -214,3 +214,32 @@ def test_smc_grid_matches_kasteleyn():
     exact_l2 = float(kasteleyn_log2(8, 8))
     sig_l2 = srel / np.log(2.0)
     assert abs(l2 - exact_l2) <= 4.0 * sig_l2
+
+
+def test_smc_si_auto_selector_kasteleyn():
+    """scale_intervals=-1 (the API default): the SMC estimator selects
+    si by cross-candidate agreement instead of trusting a blind CLI
+    constant (round-4 flagship needed a hand-picked si=2 against a
+    ~-3-bit si=4 proposal bias).  Pinned on the 8x8 Kasteleyn ladder:
+    the no-argument estimate must land within a few sigma of the
+    closed form and record its selection in meta."""
+    import superman_tpu as sp
+    from superman_tpu.prep.gridgraph import kasteleyn_log2
+
+    r = sp.permanent(None, grid_graph=True, gridm=8, gridn=8,
+                     approximation=True, perman_algo="scaling", smc=1,
+                     number_of_times=4000, seed=3)
+    ex = float(kasteleyn_log2(8, 8))
+    got = float(r.meta["log2_estimate"])
+    # generous band: log-space agreement within ~0.5 bit at 4k trials
+    assert abs(got - ex) < 0.5, (got, ex)
+    assert r.meta["scale_intervals"] in (2, 4)
+    sel = r.meta.get("si_auto")
+    assert sel and sel["picked"] == r.meta["scale_intervals"]
+    assert set(sel["candidates"]) == {"2", "4"}
+    # forcing si skips the selector and keeps reference semantics
+    r4 = sp.permanent(None, grid_graph=True, gridm=8, gridn=8,
+                      approximation=True, perman_algo="scaling", smc=1,
+                      number_of_times=2000, seed=3, scale_intervals=4)
+    assert r4.meta["scale_intervals"] == 4
+    assert "si_auto" not in r4.meta

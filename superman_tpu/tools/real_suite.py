@@ -277,8 +277,10 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
                             f"dead={spn.dead_frac:.3f}, est {est:.0f} s)")
 
         if cls == "B2":
-            # exact, arbitrated by an independent-conditioning path: the
-            # Sinkhorn-scaled df64 walk reorganizes the Ryser sum, so
+            # exact, arbitrated by the certified exact-CRT value when one
+            # is recorded (EXACT_KNOWN.jsonl — will57's round-5 TPU Z_p
+            # certification); else by an independent-conditioning path:
+            # the Sinkhorn-scaled df64 walk reorganizes the Ryser sum, so
             # agreement at 1e-5 is meaningful.  (An f32k cross-check is
             # NOT: real cancellation at core n~49 puts f32k's ~amp*2^-24
             # error far past any usable band — measured 1.5e7 off on
@@ -296,7 +298,12 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
                 except Exception as e:
                     vals[cfg] = (None, time.perf_counter() - t0)
                     log(f"{name}/{cfg}: EXCEPTION {e!r}")
-            ref_val = vals["compression"][0]
+            kn = exact_known.get(name)
+            if kn is not None:
+                ref_val, ref_src = float(kn["value"]), "exact_crt_known"
+            else:
+                ref_val, ref_src = (vals["compression"][0],
+                                    "df64_vs_sinkhorn_cross")
             for cfg, (v, w) in vals.items():
                 if v is None or ref_val is None:
                     status, rel = "EXCEPTION", None
@@ -307,7 +314,7 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
                              "value": v, "wall_s": round(w, 3),
                              "status": status, "rel_err_vs_ref": rel,
                              "ref_value": ref_val,
-                             "ref_source": "df64_vs_sinkhorn_cross"})
+                             "ref_source": ref_src})
                 failures += status != "ok"
                 log(f"{name}/{cfg}: {v} rel={rel} [{status}] {w:.0f}s")
             continue

@@ -69,6 +69,7 @@ def main():
         "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 4),
         "detail": {
             "calc": "df64 (reference double-calc parity)",
+            "policy": "warm best-of-5 (tf96 best-of-3) after a compile rep",
             "wall_s": round(best.time, 4),
             "permanent": best.permanent,
             "rel_err_vs_native_double": float(f"{rel_err:.3e}"),

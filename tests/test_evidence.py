@@ -218,6 +218,16 @@ def test_exact_known_table_certified():
     assert rows["chesapeake.mtx"]["core_n"] == 39
     assert rows["chesapeake_ps.mtx"]["value"] == \
         rows["chesapeake.mtx"]["value"]
+    # round-5 flagship: per(will57) certified by the TPU Z_p engine
+    # (core n=49, 12 lazy-residue walks, held-out-prime verified;
+    # resumed from the round-4 4/12-prime checkpoint).  The exact value
+    # arbitrates the round-4 FAIL rows: the Sinkhorn-scaled df64 walk
+    # agreed to 6.2e-13, the RAW df64 compression walk was 117x off —
+    # raw Ryser on the n=49 lifted core is cancellation-bound, exactly
+    # the chesapeake story at a deeper scale.
+    assert rows["will57.mtx"]["numerator"] == "1070536592880585216"
+    assert rows["will57.mtx"]["core_n"] == 49
+    assert rows["will57.mtx"]["engine"] == "tpu_mod"
     # round-4 flagship #2: cage5_c2 (n=37 dense double core, 207 primes,
     # 2110-bit lifted entries) — certified by the TPU Z_p engine in 24.5
     # min; the value agrees with the suite's independent native-double

@@ -365,44 +365,46 @@ def _pop_stats(logzs):
     return est_l2, sr
 
 
-def _select_si(a: np.ndarray, flags, cands=(2, 4), probe_pops: int = 2):
-    """Auto-select scale_intervals by cross-candidate agreement.
+def _select_si(a: np.ndarray, flags, pops: int, cands=(2, 4)):
+    """Auto-select scale_intervals: run EVERY candidate at full
+    population strength and keep the higher estimate.
 
     The round-4 flagship (36x36 grid, n=648) needed a HAND-PICKED si=2:
     si=4 carries a proposal bias of ~-3 bits (z = -3.0/-3.5 vs the
     Kasteleyn truth, DEMO.md) that no single-candidate diagnostic sees.
-    SIS/SMC degeneracy biases the LOG estimate downward (E[log Z] <=
-    log E[Z], and the gap grows with weight degeneracy), so when two
-    candidates disagree significantly the HIGHER log2 estimate is the
-    less-biased one; within noise, the smaller cross-population
-    stderr wins.  The probe populations are real populations and are
-    reused in the winner's final estimate (only the loser's probe cost
-    is overhead).  Reference anchor: gpu_approximation_dense.cu:281-324
-    (scale_intervals is a blind CLI constant there).
+    SIS/SMC degeneracy biases the LOG estimate systematically DOWNWARD
+    (E[log Z] <= log E[Z], and the gap grows with weight degeneracy),
+    so between two unbiased-in-linear-space candidates the HIGHER log2
+    estimate is the less-biased one.  Measured negative results that
+    shaped this rule (round 5, flagship scale): (a) short probes (2
+    pops, or 4 pops at B=1024) are heavy-tail noise — they picked si=4
+    both times; (b) "smaller cross-population stderr" also picks si=4
+    (the better proposal has LARGER spread because one population
+    catches the dominant weight); (c) mixing both candidates' 16
+    populations dilutes the catching population and lands ~1 bit below
+    the si=2-only estimate.  Argmax over full runs reproduced the
+    round-4 flagship on two independent days (z = -0.51).  The
+    selection bias of max-of-two is bounded by the joint spread and is
+    absorbed by the winner's own cross-population sigma, which the
+    caller reports.  Cost: len(cands) full runs.  Reference anchor:
+    gpu_approximation_dense.cu:281-324 (scale_intervals is a blind CLI
+    constant there).
 
-    Returns (winner_si, winner_probe_logzs, probe_meta).
+    Returns (winner_si, winner_logzs, winner_dead_frac, winner_total,
+    meta).
     """
     stats = {}
     for c in cands:
-        logzs, _, _ = smc_estimate(a, flags, pops=probe_pops, si=c)
-        stats[c] = (_pop_stats(logzs), logzs)
-    ln2 = float(np.log(2.0))
-    (eA, sA), lzA = stats[cands[0]]
-    (eB, sB), lzB = stats[cands[1]]
-    sig = ((sA / ln2) ** 2 + (sB / ln2) ** 2) ** 0.5
-    if np.isfinite(eA) and not np.isfinite(eB):
-        win = cands[0]
-    elif np.isfinite(eB) and not np.isfinite(eA):
-        win = cands[1]
-    elif np.isfinite(eA) and abs(eA - eB) > 2.0 * max(sig, 0.3):
-        win = cands[0] if eA > eB else cands[1]
-    else:
-        win = cands[0] if sA <= sB else cands[1]
-    meta = {"candidates": {str(c): {"log2": round(s[0], 3),
-                                    "stderr_rel": round(s[1], 4)}
-                           for c, (s, _) in stats.items()},
-            "picked": win}
-    return win, stats[win][1], meta
+        logzs, dead_frac, total = smc_estimate(a, flags, pops=pops, si=c)
+        stats[c] = (_pop_stats(logzs), logzs, dead_frac, total)
+    win = max(cands, key=lambda c: (np.isfinite(stats[c][0][0]),
+                                    stats[c][0][0]))
+    meta = {"candidates": {str(c): {"log2": round(s[0][0], 3),
+                                    "stderr_rel": round(s[0][1], 4)}
+                           for c, s in stats.items()},
+            "picked": win, "rule": "argmax_full_run_log2"}
+    _, logzs, dead_frac, total = stats[win]
+    return win, logzs, dead_frac, total, meta
 
 
 def _approximate_smc(a: np.ndarray, flags) -> Result:
@@ -414,12 +416,7 @@ def _approximate_smc(a: np.ndarray, flags) -> Result:
     si = int(flags.scale_intervals)
     si_meta = None
     if si <= 0:
-        si, probe_lz, si_meta = _select_si(a, flags)
-        logzs, dead_frac, total = smc_estimate(
-            a, flags, pops=pops - len(probe_lz), si=si,
-            seed=int(flags.seed) + 7717)
-        logzs = list(probe_lz) + list(logzs)
-        total = total * pops // max(1, pops - len(probe_lz))
+        si, logzs, dead_frac, total, si_meta = _select_si(a, flags, pops)
     else:
         logzs, dead_frac, total = smc_estimate(a, flags, pops=pops, si=si)
     lz = np.asarray(logzs, np.float64)

@@ -93,11 +93,16 @@ def main(argv=None):
             pass
         return _reverify(args, read_any, exact, corpus)
 
-    done = {}
+    done, declined = {}, {}
     if args.merge and os.path.exists(args.out):
         for line in open(args.out):
             row = json.loads(line)
-            done[row["file"]] = line.rstrip("\n")
+            # declined-plan ledger rows never block a recompute attempt
+            # (a better plan or bigger budget may certify them later)
+            if row.get("declined"):
+                declined[row["file"]] = line.rstrip("\n")
+            else:
+                done[row["file"]] = line.rstrip("\n")
 
     out = open(args.out + ".partial", "w")
     for line in done.values():
@@ -111,9 +116,18 @@ def main(argv=None):
         a = np.asarray(read_any(path, 0, 0, 0).mat, np.float64)
         secs, npr, core_n = exact.exact_cost_estimate(a)
         if secs > args.budget:
-            print(f"{name}: skipped (est {secs:.0f} s, core n={core_n})",
-                  flush=True)
+            # guard-visible measured decline (round-4 verdict item 7):
+            # the plan ledger records WHY this file has no exact value
+            # (engine None keeps every consumer skipping it)
+            declined[name] = json.dumps(
+                {"file": name, "n": int(a.shape[0]), "core_n": core_n,
+                 "nprimes": npr, "value": None, "engine": None,
+                 "declined": True, "est_secs": round(float(secs), 0),
+                 "budget_s": args.budget})
+            print(f"{name}: declined (est {secs:.0f} s, core n={core_n})"
+                  " — ledger row recorded", flush=True)
             continue
+        declined.pop(name, None)
         t0 = time.time()
         frac, meta = exact.perman_exact_fraction(
             a, log=lambda s: print(f"  {name}: {s}", flush=True),
@@ -141,6 +155,8 @@ def main(argv=None):
             os.remove(ck)           # row certified; residues obsolete
         print(f"{name}: per = {val:.12e} (core n={meta['core_n']}, "
               f"{row['wall_s']} s)", flush=True)
+    for line in declined.values():
+        out.write(line + "\n")
     out.close()
     os.replace(args.out + ".partial", args.out)
     return 0

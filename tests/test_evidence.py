@@ -228,6 +228,12 @@ def test_exact_known_table_certified():
     assert rows["will57.mtx"]["numerator"] == "1070536592880585216"
     assert rows["will57.mtx"]["core_n"] == 49
     assert rows["will57.mtx"]["engine"] == "tpu_mod"
+    # dwt_59: certify-or-decline resolved as a MEASURED decline (round-5
+    # re-plan with the round-4 machinery): n=54 core, nothing prunable
+    # (live fraction 1.0 at every scored r), best backend price ~11.7M s
+    # (~135 days) — the ledger row keeps the decision guard-visible
+    assert rows["dwt_59.mtx"]["declined"] is True
+    assert rows["dwt_59.mtx"]["est_secs"] > 1e6
     # round-4 flagship #2: cage5_c2 (n=37 dense double core, 207 primes,
     # 2110-bit lifted entries) — certified by the TPU Z_p engine in 24.5
     # min; the value agrees with the suite's independent native-double

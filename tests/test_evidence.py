@@ -245,35 +245,35 @@ def test_exact_known_table_certified():
     assert len(rows["cage5_c2.mtxzero"]["numerator"]) >= 600  # full bigint
 
 
-def test_smc_flagship_demo_row():
-    """The round-4 SMC flagship hardware row (DEMO.md): 36x36 grid
-    (n=648) SMC estimate must bracket the Kasteleyn closed form within
-    its cross-population sigma band and run in well under 200 s warm
-    (round-3 verdict item 5).  The exact log2 is recomputed here from
-    the closed form, so a stale DEMO number cannot drift unnoticed."""
-    import re
-
+def test_smc_flagship_artifact():
+    """The SMC flagship hardware evidence (DEMO_SMC.jsonl, written by
+    tools/smc_flagship.py): the 36x36 grid (n=648) population estimate
+    must bracket the Kasteleyn closed form within its cross-population
+    sigma band, run well under 200 s warm, and — round 5 — carry the
+    scale_intervals AUTO-selection record (no hand-tuned constant).
+    Replaces the round-4 DEMO.md regex scrape (round-4 verdict weak #5);
+    the exact log2 is recomputed from the closed form so a stale row
+    cannot drift unnoticed."""
     from superman_tpu.prep.gridgraph import kasteleyn_log2
 
-    text = open(os.path.join(ROOT, "DEMO.md")).read()
-    ms = list(re.finditer(r"est log2 = ([\d.]+)\s+exact log2 = ([\d.]+)",
-                          text))
-    assert ms, "DEMO.md lost the round-4 SMC flagship row"
-    m = ms[-1]       # earlier rounds' grid sections match the same shape
-    est, exact_doc = float(m.group(1)), float(m.group(2))
-    # z/sigma/wall must come from the SAME section as the est/exact
-    # anchor — a search over the whole document would bind whichever
-    # occurrence appears first and silently cross-validate mismatched
-    # numbers after any DEMO addition (round-4 advisor finding #4)
-    tail = text[m.start():]
-    z = float(re.search(r"z = (-?[\d.]+)", tail).group(1))
-    sig = float(re.search(r"sigma\(log2\) = ([\d.]+)", tail).group(1))
-    wall = float(re.search(r"warm wall ([\d.]+) s", tail).group(1))
-    assert abs(exact_doc - float(kasteleyn_log2(36, 36))) < 5e-3
-    assert abs(z) <= 3.0
-    # the printed z, sigma and estimate must be one consistent story
-    assert abs(est - exact_doc) == pytest.approx(abs(z) * sig, abs=0.05)
-    assert wall <= 200.0
+    path = os.path.join(ROOT, "DEMO_SMC.jsonl")
+    if not os.path.exists(path):
+        pytest.fail("DEMO_SMC.jsonl missing — delivered in round 5; "
+                    "regenerate with python -m "
+                    "superman_tpu.tools.smc_flagship")
+    rows = [d for d in _lines(path) if d.get("grid") == 36]
+    assert rows, "no 36x36 flagship row"
+    d = rows[-1]
+    assert abs(d["exact_log2"] - float(kasteleyn_log2(36, 36))) < 5e-3
+    assert abs(d["z"]) <= 3.0
+    # z, sigma and estimate must be one consistent story
+    assert abs(d["est_log2"] - d["exact_log2"]) == pytest.approx(
+        abs(d["z"]) * d["sigma_log2"], abs=0.05)
+    assert d["warm_wall_s"] <= 200.0
+    # the selection must be recorded and self-consistent
+    sel = d["si_auto"]
+    assert sel["picked"] == d["scale_intervals"]
+    assert set(sel["candidates"]) == {"2", "4"}
 
 
 def test_scaling_measured_content():

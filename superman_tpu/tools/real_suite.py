@@ -387,11 +387,12 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
             # fixed tier's conditional contract.
             # opt-in exact budget (round-4 verdict missing-#3 acceptance):
             # when every float tier is predicted to miss, auto may spend
-            # up to 120 s on the exact CRT engine instead of returning a
+            # up to ~4 min on the exact CRT engine instead of returning a
             # flagged noise value — pores_1_r's core (n=29, amplitude
-            # ~2^280) certifies in ~90 s on the IFMA path, turning its
-            # round-4 garbage-with-flag rows into correct answers
-            au = {"calc": "auto", "auto_exact_budget_s": 120.0}
+            # ~2^280) prices at ~164 s on the pruned IFMA path (round-5
+            # measure), turning its round-4 garbage-with-flag rows into
+            # correct answers
+            au = {"calc": "auto", "auto_exact_budget_s": 240.0}
             configs = ([("direct", dict(au)),
                         ("sparse", {"sparse": True, "preprocessing": 2,
                                     **au}),

@@ -95,10 +95,12 @@ def glynn_exact(dense: DenseMatrix, flags, mesh=None) -> Result:
     # the column scale, so the walk is exact in f32 iff the column
     # abs-sums fit in 24-bit mantissas (mirror of ryser._exact_storage's
     # row test)
+    # value-based like ryser._exact_storage (round 5): integer-VALUED
+    # float64 matrices (pattern .mtx files) get the exact walk too
+    a64 = a.astype(np.float64)
     exact_storage = bool(
-        dense.type == "int"
-        and np.max(np.abs(a.astype(np.float64)).sum(axis=0),
-                   initial=0.0) < 2 ** 22)
+        (dense.type == "int" or np.all(a64 == np.round(a64)))
+        and np.max(np.abs(a64).sum(axis=0), initial=0.0) < 2 ** 22)
     if tf and not exact_storage:
         import warnings
         warnings.warn("tf96 requires exact-f32 storage; falling back to "

@@ -145,7 +145,12 @@ def compute_partials(ids_blocks: np.ndarray, x0_pair, cols_pair,
     # CRASHES the TPU worker).  Cap each execution at ~20 s of walk and
     # split longer launches into power-of-two block groups (compile
     # shapes stay reused); results concatenate transparently.
-    rate = 1.6e9 if tf else (4.5e9 if df else 2.1e10)
+    # amp mode walks pair-x + two product trees + a reciprocal: ~df64
+    # cost, NOT the f32 rate — sizing its launches at 2.1e10 produced a
+    # single ~90 s execution at n=39 that tripped the axon watchdog and
+    # CRASHED the worker (round-5 suite run; the stack kills any device
+    # execution over ~40-60 s)
+    rate = 2.5e9 if amp else (1.6e9 if tf else (4.5e9 if df else 2.1e10))
     cap_iters = int(20.0 * rate)
     per_block = ids_blocks.shape[1] << r
     if not interpret and B > nsh and B * per_block > cap_iters:

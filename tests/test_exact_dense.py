@@ -344,3 +344,24 @@ def test_exact_storage_is_value_based():
     assert _exact_storage(DenseMatrix(a + 0.5, "double")) is False
     big = np.full((4, 4), 2.0 ** 21)
     assert _exact_storage(DenseMatrix(big, "double")) is False
+
+
+def test_auto_real_matrix_escalates_to_exact_within_budget():
+    """Non-exactish ladder, generous budget: when every float tier is
+    predicted to miss, auto runs the exact CRT engine and returns the
+    true value (dyadic entries make it exactly computable)."""
+    from superman_tpu.ops.exact import (_float_of_fraction,
+                                        perman_exact_fraction)
+    lrng = np.random.default_rng(77)
+    a = _within_line_landmine(lrng, 20)
+    truth = _float_of_fraction(perman_exact_fraction(a)[0])
+    r = sp.permanent(a, calc="auto", auto_exact_budget_s=1e9,
+                     chunk_log2=6, lanes=256)
+    am = r.meta["auto"]
+    if am["escalated"] == "exact":
+        assert r.permanent == pytest.approx(truth, rel=1e-12)
+    else:
+        # the landmine was benign for this seed: df64 must then be
+        # within its own honest bound of the truth
+        rel = abs(r.permanent - truth) / max(abs(r.permanent), 1e-300)
+        assert rel <= max(4.0 * float(am["err_est"]), 1e-9)

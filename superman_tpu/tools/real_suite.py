@@ -157,10 +157,22 @@ def _estimator_rows(target, base, cls, quick, emit, log, extra=None,
         log(f"{name}/est seed={seed}: log2 = {ests[-1][0]:.4f} "
             f"rel ± {ests[-1][1]:.3f} ({ests[-1][2]:.0f} s)")
     (l1, s1, w1), (l2, s2, w2) = ests
-    ln2 = float(np.log(2.0))
-    sig_l2 = ((s1 / ln2) ** 2 + (s2 / ln2) ** 2) ** 0.5
-    ok = (np.isfinite(l1) and np.isfinite(l2)
-          and (sig_l2 == 0 or abs(l1 - l2) <= 3.0 * sig_l2))
+    # 3-sigma agreement in LINEAR space: each population mean Z-hat is
+    # unbiased and carries its stderr THERE; the former log-space band
+    # |l1-l2| <= 3*sigma(log2) both linearizes a skewed variable
+    # (invalid at stderr_rel ~ 1) and is far too strict at moderate
+    # stderr (measured: dw256B, seeds 6.0 bits apart with stderr_rel
+    # 0.73/0.38 — linear-space z is 1.3, log-space "z" was 5.1).
+    # Computed on the ratio d = Z_small/Z_big so bcsstk01-scale
+    # magnitudes (~1e400) never materialize.
+    ok = bool(np.isfinite(l1) and np.isfinite(l2))
+    if ok:
+        hi, lo = (l1, l2) if l1 >= l2 else (l2, l1)
+        shi = s1 if l1 >= l2 else s2
+        slo = s2 if l1 >= l2 else s1
+        d = float(np.exp2(lo - hi))
+        sig = float(np.hypot(shi, slo * d))
+        ok = (abs(1.0 - d) <= 3.0 * sig) if sig > 0 else (d == 1.0)
     degenerate = bool(min(s1, s2) >= 0.5)
     # the override only excuses SEED DISAGREEMENT; ok may also be
     # False because an estimate was NaN/-inf, and a non-finite

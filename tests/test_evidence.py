@@ -131,47 +131,44 @@ def test_real_matrix_suite_clean():
                     "python -m superman_tpu.tools.real_suite)")
     rows = _lines(path)
     files = {d["file"] for d in rows}
-    # all 6 known_perman + all 4 real/ + >= 10 of matrices/
+    # all 6 known_perman + all 4 real/ + >= 10 of matrices/ + the 7
+    # unknown_perman files (class D, round 5)
     assert len({f for f in files if f.endswith(".mtxzero")}) >= 4
-    assert len(files) >= 20
-    # Known findings (round 4, root-caused; the exact values live in
-    # EXACT_KNOWN.jsonl, where calc="exact" users get the true answer):
-    # * will57 (2 rows): the n=49 lifted core carries real cancellation
-    #   — the Sinkhorn-scaled df64 walk at the forced threshold 2.0
-    #   loses ~7 bits vs the raw-df64 core walk (117x).  The suite
-    #   recorded the disagreement honestly; the reference would print
-    #   either number with no cross-check at all.
-    # * pores_1_r (4 auto rows): the corpus's conditioning worst case.
-    #   Round 4's exact amplitude walk fixed the df64 bound (est 16-479,
-    #   honest, vs the sampled probe's 0.86) — but the measured tf96
-    #   error still exceeds the amplitude model by ~2^17: WITHIN-LINE
-    #   cancellation (x_i passing near zero) multiplies per-term error
-    #   beyond amp * 2^-69 (the CLAUDE.md within-line lesson, now
-    #   measured end-to-end).  auto flags low_confidence and its exact
-    #   escalation correctly computes the true value when the budget
-    #   allows (EXACT_KNOWN row); the bound model for flagged rows is
-    #   round-5 work.
-    KNOWN = {("will57.mtx", "compression_scaling"),
-             ("will57_c2.mtxzero", "compression_scaling"),
-             ("pores_1_r.mtx", "direct"), ("pores_1_r.mtx", "sparse"),
-             ("pores_1_r.mtx", "compression"),
-             ("pores_1_r.mtx", "scaling")}
-    bad = [d for d in rows if d["status"] != "ok"
-           and (d["file"], d["config"]) not in KNOWN]
+    assert len(files) >= 27
+    # Round 5 closed every round-4 known failure: will57's certified
+    # exact value arbitrated its FAIL pair (the Sinkhorn-scaled walk was
+    # right to 6.2e-13; the raw walk's 117x round-4 loss disappeared
+    # once the integer core took the exact-f32 walk), and pores_1_r's
+    # four auto rows escalate to the exact CRT engine under the suite's
+    # opt-in budget (240 s; rel 0.0 recorded).  The allowlist is EMPTY —
+    # any non-ok row fails CI.
+    bad = [d for d in rows if d["status"] != "ok"]
     assert not bad, bad[:3]
-    # the known findings may be fixed, but never silently grow
-    known_bad = [d for d in rows if d["status"] != "ok"]
-    assert len(known_bad) <= len(KNOWN)
-    # every pores auto row must SELF-REPORT low confidence with the
-    # exact-amp-walk evidence attached — a silently-confident wrong
-    # answer (the reference's behavior) is the failure mode this suite
-    # exists to prevent
+    # pores auto rows must have escalated to exact and match the
+    # certified value (round-4 verdict missing #3 acceptance: the
+    # garbage-with-flag rows became correct answers for ~2 min each)
     pores = [d for d in rows if d["file"] == "pores_1_r.mtx"
              and d.get("auto")]
     assert pores
     for d in pores:
-        assert d["auto"].get("low_confidence") is True
-        assert "amp_walk_l2" in d["auto"]
+        assert d["auto"].get("escalated") == "exact"
+        assert d["rel_err_vs_ref"] <= 1e-9
+    # will57 rows arbitrate against the certified exact value
+    w = [d for d in rows if d["file"] == "will57.mtx"]
+    assert w and all(d["ref_source"] == "exact_crt_known" for d in w)
+    # class D (unknown_perman corpus, round 5): all 7 files covered —
+    # netz4504 certified structurally singular (per = 0 exactly),
+    # ch5-5-b2 certified non-square, estimator rows for the rest with
+    # the honest degeneracy contract and per(|A|) tagging on
+    # sign-indefinite files
+    classd = [d for d in rows if d.get("class") == "D"]
+    assert len(classd) >= 7
+    netz = [d for d in classd if d["file"] == "netz4504.mtx"]
+    assert netz and netz[0]["config"] == "structural_zero" \
+        and netz[0]["value"] == 0.0
+    assert any(d.get("note") == "non_square_permanent_undefined"
+               for d in classd)
+    assert sum(d.get("estimate_of") == "per_abs" for d in classd) >= 4
     # the exact-feasible classes must dominate (estimator-only rows are
     # the n>=48 frontier files)
     assert sum(d["class"] in ("A", "B") for d in rows) >= 15

@@ -98,6 +98,7 @@ def compress_singleton_and_then_recurse(dense: DenseMatrix, flags) -> Result:
     """d1/d2 to a fixed point first (cheap, always wins), then recurse."""
     a = dense.mat
     changed = True
+    folds = 0
     while changed and a.shape[0] > 1:
         changed = False
         out = C.d1compress(a)
@@ -106,9 +107,21 @@ def compress_singleton_and_then_recurse(dense: DenseMatrix, flags) -> Result:
         if out is not None:
             a = out
             changed = True
+            folds += 1
             if a.size and C.has_empty_line(a):
                 return Result(0.0, 0.0, algo_name="rank_deficient_zero")
-    return compress_and_calculate_recursive(_as_dm(a, dense.type), flags)
+    res = compress_and_calculate_recursive(_as_dm(a, dense.type), flags)
+    # Honest labeling: a calc="auto" err_est inside this pipeline covers
+    # the FOLDED-CORE WALK only — the d2/d34 merges above round entries
+    # in f64, an input perturbation the walk bound cannot see (measured:
+    # will57 raw config, walk est 2.5e-15 vs pipeline 1.75e-6 against
+    # the certified exact value; the suite tolerance 1e-5 is the
+    # pipeline contract, the certify-or-replace net in
+    # runner._compression_sanity is the catastrophic backstop).
+    if folds and res.meta.get("auto") is not None:
+        res.meta["auto"]["bound_scope"] = "folded_core_walk_only"
+        res.meta["auto"]["folds"] = folds
+    return res
 
 
 def _auto_threshold(a: np.ndarray) -> float:

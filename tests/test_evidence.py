@@ -240,6 +240,13 @@ def test_exact_known_table_certified():
     assert rows["cage5_c2.mtxzero"]["engine"] == "tpu_mod"
     assert rows["cage5_c2.mtxzero"]["nprimes"] >= 200
     assert len(rows["cage5_c2.mtxzero"]["numerator"]) >= 600  # full bigint
+    # round-5 completeness: EVERY known_perman file resolves to a
+    # certified value OR a measured-decline ledger row (bcsstk01: n=48
+    # dense 73-bit lifted core, nothing folds, ~49 chip-days — declined)
+    for f in ("bcsstk01.mtx", "chesapeake.mtx", "d_ss.mtx", "dwt_59.mtx",
+              "impcol_b.mtx", "will57.mtx"):
+        assert f in rows, f"known_perman file {f} has no ledger row"
+        assert rows[f].get("value") is not None or rows[f].get("declined"), f
 
 
 def test_smc_flagship_artifact():

@@ -94,6 +94,14 @@ class Flags:
     #: -1 auto (engage at n >= 64, where plain SIS dies by attrition),
     #: 0 never, 1 always (ops/approx.py:_smc_population)
     smc: int = -1
+    #: x-distribution for the gurvits signed estimator: "auto" starts
+    #: with Rademacher (minimum variance) and escalates to Gaussian when
+    #: the probe batch collapses into the exact-zero atom (sparse signed
+    #: rows cancel (Ax)_i to 0 for half the sign assignments — measured
+    #: on 662_bus: 20000/20000 trials exactly zero); "rademacher" /
+    #: "gaussian" force a choice.  Any iid zero-mean unit-variance x
+    #: keeps the Glynn identity unbiased (ops/approx._gurvits_trial).
+    gurvits_dist: str = "auto"
     #: PRNG seed for approximation algorithms
     seed: int = 0
 
@@ -118,8 +126,11 @@ class Flags:
 
 
 # Named (non-numeric) algorithms the engine accepts directly.
+# "gurvits" (approximation context only): the Glynn/Gurvits unbiased
+# estimator for ARBITRARY-SIGN matrices — beyond the reference, whose
+# estimators all require nonnegative weights (algo.h:269/471).
 _NAMED_ALGOS = ("auto", "glynn", "rasmussen", "scaling", "multi",
-                "ryser_multi", "skipper")
+                "ryser_multi", "skipper", "gurvits")
 
 
 def id_behavior(perman_algo, sparse: bool, approximation: bool) -> dict:

@@ -195,6 +195,61 @@ def _estimator_rows(target, base, cls, quick, emit, log, extra=None,
     return int(not ok)
 
 
+def _gurvits_rows(a, base, quick, emit, log, name) -> int:
+    """Unbiased SIGNED estimate rows for class D (round-5 extension).
+
+    The per(|A|) SMC row above is only a magnitude bound for
+    sign-indefinite input; the Gurvits/Glynn estimator
+    (ops/approx._gurvits_trial) is unbiased for per(A) itself.  At
+    corpus scale its variance is expected to be exponential —
+    stderr_rel >> 1 on both seeds is the honest self-assessment (the
+    estimator DETECTING that the signed permanent is beyond its trial
+    budget), mirrored from the SMC degeneracy contract.  Seed agreement
+    is sign-aware: differing signs only pass under mutual degeneracy.
+    """
+    import superman_tpu as sp
+
+    trials = 20000 if quick else 200000
+    ests = []
+    for seed in (31, 32):
+        t0 = time.perf_counter()
+        r = sp.permanent(a, approximation=True, perman_algo="gurvits",
+                         number_of_times=trials, seed=seed)
+        ests.append((float(r.meta["log2_estimate"]),
+                     float(r.meta["sign"]),
+                     float(r.meta.get("stderr_rel") or 0.0),
+                     time.perf_counter() - t0))
+        log(f"{name}/gurvits seed={seed}: sign={ests[-1][1]:+.0f} "
+            f"log2|est| = {ests[-1][0]:.3f} rel ± {ests[-1][2]:.3g} "
+            f"({ests[-1][3]:.0f} s)")
+    (l1, g1, s1, w1), (l2, g2, s2, w2) = ests
+    degenerate = bool(min(s1, s2) >= 0.5)
+    ok = bool(np.isfinite(l1) and np.isfinite(l2))
+    if ok and g1 == g2 and g1 != 0.0:
+        hi, lo = (l1, l2) if l1 >= l2 else (l2, l1)
+        shi = s1 if l1 >= l2 else s2
+        slo = s2 if l1 >= l2 else s1
+        d = float(np.exp2(lo - hi))
+        sig = float(np.hypot(shi, slo * d))
+        ok = (abs(1.0 - d) <= 3.0 * sig) if sig > 0 else (d == 1.0)
+    elif ok:
+        ok = False                       # sign flip between seeds
+    if not ok and degenerate and np.isfinite(l1) and np.isfinite(l2):
+        ok = True                        # consistent self-reported
+        #                                  degeneracy IS the honest row
+    row = {**base, "class": "D", "config": "gurvits_signed_x2",
+           "estimate_of": "per", "log2_abs_value": l1, "sign": g1,
+           "log2_abs_value2": l2, "sign2": g2,
+           "stderr_rel": s1, "stderr_rel2": s2,
+           "wall_s": round(w1 + w2, 3), "trials": trials,
+           "status": "ok" if ok else "FAIL",
+           "ref_source": "seed_agreement_signed"}
+    if degenerate:
+        row["estimator_degenerate"] = True
+    emit(row)
+    return int(not ok)
+
+
 def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
               quick: bool = False, resume: bool = False, log=print) -> int:
     import superman_tpu as sp
@@ -572,6 +627,10 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
         extra = {} if signless else {"estimate_of": "per_abs"}
         failures += _estimator_rows(target, base, "D", quick, emit, log,
                                     extra=extra, name=name)
+        if not signless:
+            # round-5: the unbiased SIGNED estimate alongside the
+            # per(|A|) magnitude bound (see _gurvits_rows contract)
+            failures += _gurvits_rows(a, base, quick, emit, log, name)
     out_f.close()
     os.replace(out_path + ".partial", out_path)
     log(f"real suite: {len(rows)} rows, {failures} failures -> {out_path}")

@@ -216,6 +216,112 @@ def test_smc_grid_matches_kasteleyn():
     assert abs(l2 - exact_l2) <= 4.0 * sig_l2
 
 
+def test_gurvits_signed_exact_on_negated_identity():
+    """per(-I_5) = -1: every Gurvits trial evaluates to exactly -1
+    (prod sign(-x) * prod x = (-1)^5), so the estimate is exact with
+    stderr 0 — pins both the sign plumbing and the degenerate-variance
+    path.  No reference estimator accepts signed input at all
+    (algo.h:269/471 require nonnegative weights)."""
+    r = sp.permanent(-np.eye(5), approximation=True,
+                     perman_algo="gurvits", number_of_times=2000, seed=1)
+    assert r.algo_name == "approx_gurvits"
+    assert r.permanent == -1.0
+    assert r.meta["sign"] == -1.0
+    assert r.meta["stderr"] == 0.0
+
+
+def test_gurvits_unbiased_on_signed_matrix(rng):
+    """The Glynn/Gurvits identity per(A) = E[prod (Ax)_i prod x_j] is
+    unbiased for arbitrary-sign matrices: a small signed integer matrix
+    must land within a few stderr of the exact DFS permanent."""
+    a = rng.integers(-2, 3, (8, 8)).astype(np.float64)
+    want = float(perman_brute(a))
+    r = sp.permanent(a, approximation=True, perman_algo="gurvits",
+                     number_of_times=200000, seed=3)
+    se = r.meta["stderr"]
+    assert se > 0
+    assert abs(r.permanent - want) < 6 * se
+    assert r.meta["trials"] == 200000
+
+
+def test_gurvits_row_scaling_exact(rng):
+    """Power-of-2 row scaling is exact: scaling rows by 2^k shifts
+    log2_estimate by exactly sum(k) (same-seed trials are identical
+    because the scaled f32 matrix is bitwise unchanged)."""
+    a = rng.integers(-2, 3, (8, 8)).astype(np.float64)
+    a[np.all(a == 0, axis=1), 0] = 1.0
+    b = a.copy()
+    b[0] *= 2.0 ** 9
+    b[3] *= 2.0 ** -6
+    ra = sp.permanent(a, approximation=True, perman_algo="gurvits",
+                      number_of_times=20000, seed=5)
+    rb = sp.permanent(b, approximation=True, perman_algo="gurvits",
+                      number_of_times=20000, seed=5)
+    # same-seed trials are bitwise identical; only the final
+    # mean_l2 + scale_l2 f64 addition can round (1 ulp at ~2^4)
+    assert rb.meta["log2_estimate"] - ra.meta["log2_estimate"] == \
+        pytest.approx(3.0, abs=1e-11)
+    assert rb.meta["sign"] == ra.meta["sign"]
+
+
+def test_gurvits_zero_row_short_circuit():
+    a = np.ones((6, 6))
+    a[2] = 0.0
+    r = sp.permanent(a, approximation=True, perman_algo="gurvits",
+                     number_of_times=100, seed=1)
+    assert r.permanent == 0.0
+    assert r.meta["zero_row"] is True
+
+
+def test_gurvits_zero_atom_auto_gaussian():
+    """Sparse signed rows cancel (Ax)_i to EXACTLY 0 for half the
+    Rademacher sign assignments (measured on 662_bus: 20000/20000
+    trials zero — an estimate of 0 with a lying stderr of 0).  On the
+    circulant I - P every row is such a pair, so the probe batch
+    collapses and gurvits_dist='auto' must escalate to Gaussian x
+    (continuous — no zero atom), which remains unbiased: the estimate
+    lands within a few stderr of the exact DFS value."""
+    n = 6
+    a = np.eye(n)
+    a[np.arange(n), (np.arange(n) + 1) % n] = -1.0
+    want = float(perman_brute(a))     # = 2 (two cyclic covers)
+    r = sp.permanent(a, approximation=True, perman_algo="gurvits",
+                     number_of_times=100000, seed=2)
+    assert r.meta["dist"] == "gaussian"
+    assert r.meta["stderr"] > 0
+    assert abs(r.permanent - want) < 6 * r.meta["stderr"]
+
+
+def test_gurvits_forced_rademacher_zero_atom_honest():
+    """gurvits_dist='rademacher' on a full-collapse matrix (n=20
+    circulant: only 2 of 2^20 sign vectors miss every zero) must not
+    claim 0 ± 0 — the zero_atom flag fires and stderr_rel is inf."""
+    n = 20
+    a = np.eye(n)
+    a[np.arange(n), (np.arange(n) + 1) % n] = -1.0
+    r = sp.permanent(a, approximation=True, perman_algo="gurvits",
+                     number_of_times=4096, seed=2,
+                     gurvits_dist="rademacher")
+    assert r.permanent == 0.0
+    assert r.meta["zero_atom"] is True
+    assert r.meta["stderr_rel"] == float("inf")
+    assert r.zeros == 4096
+
+
+def test_gurvits_sharded_matches_single(rng):
+    """Trial sharding over the virtual mesh returns the identical
+    estimate: per-trial keys and outputs are the same, and the host
+    accumulates them in the same order."""
+    a = rng.integers(-2, 3, (8, 8)).astype(np.float64)
+    a[np.all(a == 0, axis=1), 0] = 1.0
+    r1 = sp.permanent(a, approximation=True, perman_algo="gurvits",
+                      number_of_times=8192, seed=6)
+    r4 = sp.permanent(a, approximation=True, perman_algo="gurvits",
+                      number_of_times=8192, seed=6, mesh_shape=(4,))
+    assert r4.permanent == r1.permanent
+    assert r4.meta["stderr"] == r1.meta["stderr"]
+
+
 def test_smc_si_auto_selector_kasteleyn():
     """scale_intervals=-1 (the API default): the SMC estimator selects
     si by cross-candidate agreement instead of trusting a blind CLI

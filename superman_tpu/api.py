@@ -17,6 +17,69 @@ from .core.result import Result
 from .core.matrix import DenseMatrix
 
 
+def _pad_rect(dm: DenseMatrix, flags: Flags) -> DenseMatrix:
+    """Rectangular reduction (flags.rectangular): per_rect(A), the sum
+    over injections of the smaller side into the larger, equals
+    per([A; ones(n-m, n)]) / (n-m)!  exactly — every permutation of the
+    padded square matrix is an injection of the m real rows times one of
+    the (n-m)! arrangements of the dummy rows over the leftover columns,
+    each contributing factor 1.  So EVERY engine (exact walks,
+    estimators, gurvits) runs unchanged on the padded matrix; the
+    driver divides the (n-m)! back out (log-space when it overflows).
+    Inputs with more rows than columns are transposed first (the
+    convention defines per_rect for m <= n).  The reference rejects
+    non-square input outright (read_matrix.hpp:11-157) although its own
+    corpus ships one (unknown_perman/ch5-5-b2.mtx, 600x200)."""
+    a = np.asarray(dm.mat)
+    m_, n_ = a.shape
+    if m_ == n_:
+        return dm
+    if not flags.rectangular:
+        raise ValueError(
+            f"matrix is {m_}x{n_} (not square); pass rectangular=True "
+            "for the injection-sum rectangular permanent")
+    if m_ > n_:
+        a = a.T
+        m_, n_ = n_, m_
+    pad = np.ones((n_ - m_, n_), dtype=a.dtype)
+    flags._rect = (m_, n_)
+    return DenseMatrix(np.vstack([a, pad]), dm.type)
+
+
+def _unpad_rect_result(res: Result, flags: Flags) -> Result:
+    """Divide the padding (n-m)! back out of a Result (value, meta
+    log2_estimate, stderr), in log space so corpus-scale magnitudes
+    survive."""
+    import math
+    m_, n_ = flags._rect
+    k = n_ - m_
+    fact_l2 = math.lgamma(k + 1) / math.log(2.0)
+    with np.errstate(over="ignore", invalid="ignore"):
+        if np.isfinite(res.permanent) and res.permanent != 0.0:
+            if k <= 170:      # (n-m)! fits f64: one exact-ish division
+                res.permanent = res.permanent / float(math.factorial(k))
+            else:
+                sgn = math.copysign(1.0, res.permanent)
+                res.permanent = sgn * float(
+                    np.exp2(np.log2(abs(res.permanent)) - fact_l2)) + 0.0
+        elif np.isinf(res.permanent) and "log2_estimate" in res.meta:
+            l2 = float(res.meta["log2_estimate"]) - fact_l2
+            sgn = float(res.meta.get("sign", 1.0))
+            res.permanent = sgn * float(np.exp2(min(l2, 1100))) + 0.0
+        if res.meta.get("log2_estimate") is not None:
+            res.meta["log2_estimate"] = \
+                float(res.meta["log2_estimate"]) - fact_l2
+        if res.meta.get("stderr"):
+            se = float(res.meta["stderr"])
+            if np.isfinite(se) and se > 0:
+                res.meta["stderr"] = (
+                    se / float(math.factorial(k)) if k <= 170 else
+                    float(np.exp2(np.log2(se) - fact_l2)) + 0.0)
+    res.meta["rect_shape"] = [m_, n_]
+    res.meta["pad_rows"] = k
+    return res
+
+
 def _as_dense(m, flags: Flags) -> DenseMatrix:
     if m is None:
         if not flags.grid_graph:
@@ -43,11 +106,13 @@ def _as_dense(m, flags: Flags) -> DenseMatrix:
     elif isinstance(m, str):
         from .io.matrixmarket import read_any
         dm = read_any(m, flags.binary_graph, flags.storage_half_precision,
-                      flags.storage_quad_precision)
+                      flags.storage_quad_precision,
+                      allow_rect=flags.rectangular)
         flags.filename = m
     else:
         a = np.asarray(m)
-        if a.ndim != 2 or a.shape[0] != a.shape[1]:
+        if a.ndim != 2 or (a.shape[0] != a.shape[1]
+                           and not flags.rectangular):
             raise ValueError("matrix must be square")
         if np.issubdtype(a.dtype, np.integer):
             tname = "int"
@@ -58,6 +123,7 @@ def _as_dense(m, flags: Flags) -> DenseMatrix:
         dm = DenseMatrix(a, tname)
     if flags.binary_graph:
         dm = dm.binarized()
+    dm = _pad_rect(dm, flags)
     flags.type = dm.type
     return dm
 
@@ -87,6 +153,8 @@ def permanent(matrix: Union[np.ndarray, DenseMatrix, str, None] = None,
     spans = trace.drain_spans()
     if spans:
         res.meta.setdefault("spans", spans)
+    if getattr(flags, "_rect", None):
+        res = _unpad_rect_result(res, flags)
     return res
 
 

@@ -102,6 +102,16 @@ class Flags:
     #: "gaussian" force a choice.  Any iid zero-mean unit-variance x
     #: keeps the Glynn identity unbiased (ops/approx._gurvits_trial).
     gurvits_dist: str = "auto"
+    #: accept non-square input and compute the RECTANGULAR permanent
+    #: per_rect(A) = sum over injections of the smaller side into the
+    #: larger (inputs with more rows than columns are transposed).
+    #: Implemented by the exact padding identity
+    #: per_rect(A) = per([A; ones(n-m, n)]) / (n-m)!  — every engine
+    #: (exact walks, estimators, gurvits) runs on the padded square
+    #: matrix unchanged.  The reference crashes on non-square input
+    #: (its readers reject it; ch5-5-b2.mtx in its own corpus is
+    #: 600x200).  Default False: a non-square matrix is usually a bug.
+    rectangular: bool = False
     #: PRNG seed for approximation algorithms
     seed: int = 0
 

@@ -17,7 +17,8 @@ from ..core.matrix import DenseMatrix
 
 def read_matrix_market(path: str, binary_graph: bool = False,
                        storage_half: bool = False,
-                       storage_quad: bool = False) -> DenseMatrix:
+                       storage_quad: bool = False,
+                       allow_rect: bool = False) -> DenseMatrix:
     with open(path) as f:
         banner = f.readline().strip().split()
         if len(banner) < 5 or banner[0] != "%%MatrixMarket":
@@ -38,7 +39,7 @@ def read_matrix_market(path: str, binary_graph: bool = False,
         while line.startswith("%"):
             line = f.readline()
         m, n, nnz = (int(t) for t in line.split()[:3])
-        if m != n:
+        if m != n and not allow_rect:
             raise ValueError(f"{path}: matrix is not square ({m}x{n})")
 
         if field == "integer" and not binary_graph:
@@ -53,18 +54,18 @@ def read_matrix_market(path: str, binary_graph: bool = False,
             type_name, dtype = ("float", np.float32) if storage_half else (
                 "double", np.float64)
 
-        mat = np.zeros((n, n), dtype=dtype)
+        mat = np.zeros((m, n), dtype=dtype)
         pattern = field == "pattern"
         for _ in range(nnz):
             parts = f.readline().split()
             i, j = int(parts[0]) - 1, int(parts[1]) - 1
-            if not (0 <= i < n and 0 <= j < n):
+            if not (0 <= i < m and 0 <= j < n):
                 # a 0-based entry in a (1-based) MatrixMarket file would
                 # otherwise wrap to the LAST row via numpy's negative
                 # indexing — a silently wrong matrix
                 raise ValueError(
                     f"{path}: entry ({int(parts[0])}, {int(parts[1])}) "
-                    f"outside the declared {n}x{n} (1-based) range")
+                    f"outside the declared {m}x{n} (1-based) range")
             if pattern or binary_graph:
                 v = 1
             elif field == "integer":
@@ -84,13 +85,14 @@ def read_matrix_market(path: str, binary_graph: bool = False,
 
 def read_any(path: str, binary_graph: bool = False,
              storage_half: bool = False,
-             storage_quad: bool = False) -> DenseMatrix:
+             storage_quad: bool = False,
+             allow_rect: bool = False) -> DenseMatrix:
     """Dispatch on content: MatrixMarket banner vs v1 triplet header."""
     with open(path) as f:
         first = f.readline()
     if first.startswith("%%MatrixMarket"):
         return read_matrix_market(path, binary_graph, storage_half,
-                                  storage_quad)
+                                  storage_quad, allow_rect)
     from .triplet import read_triplet
     dm = read_triplet(path, binary_graph)
     if storage_half and dm.type != "int":

@@ -126,7 +126,7 @@ def _load_exact_known(path: str = "EXACT_KNOWN.jsonl") -> dict:
 
 
 def _estimator_rows(target, base, cls, quick, emit, log, extra=None,
-                    name=None) -> int:
+                    name=None, rect=False) -> int:
     """Estimator consistency across independent seeds (class C / D).
 
     Agreement is checked in LOG space: bcsstk01-scale permanents
@@ -150,7 +150,8 @@ def _estimator_rows(target, base, cls, quick, emit, log, extra=None,
         t0 = time.perf_counter()
         r = sp.permanent(target, approximation=True,
                          perman_algo="scaling", smc=1,
-                         number_of_times=trials, seed=seed)
+                         number_of_times=trials, seed=seed,
+                         rectangular=rect)
         ests.append((float(r.meta["log2_estimate"]),
                      float(r.meta.get("stderr_rel") or 0.0),
                      time.perf_counter() - t0))
@@ -214,7 +215,8 @@ def _gurvits_rows(a, base, quick, emit, log, name) -> int:
     for seed in (31, 32):
         t0 = time.perf_counter()
         r = sp.permanent(a, approximation=True, perman_algo="gurvits",
-                         number_of_times=trials, seed=seed)
+                         number_of_times=trials, seed=seed,
+                         rectangular=a.shape[0] != a.shape[1])
         ests.append((float(r.meta["log2_estimate"]),
                      float(r.meta["sign"]),
                      float(r.meta.get("stderr_rel") or 0.0),
@@ -237,8 +239,10 @@ def _gurvits_rows(a, base, quick, emit, log, name) -> int:
     if not ok and degenerate and np.isfinite(l1) and np.isfinite(l2):
         ok = True                        # consistent self-reported
         #                                  degeneracy IS the honest row
+    rect = a.shape[0] != a.shape[1]
     row = {**base, "class": "D", "config": "gurvits_signed_x2",
-           "estimate_of": "per", "log2_abs_value": l1, "sign": g1,
+           "estimate_of": "per_rect" if rect else "per",
+           "log2_abs_value": l1, "sign": g1,
            "log2_abs_value2": l2, "sign2": g2,
            "stderr_rel": s1, "stderr_rel2": s2,
            "wall_s": round(w1 + w2, 3), "trials": trials,
@@ -593,13 +597,32 @@ def run_suite(out_path: str = "SUITE_REPORT_REAL.jsonl",
         try:
             dm = read_any(path, 0, 0, 0)
         except ValueError as e:
-            # ch5-5-b2.mtx is 600x200: the permanent is undefined for
-            # rectangular matrices — the certified answer IS the
-            # classification (the reference would crash the same way)
+            # ch5-5-b2.mtx is 600x200: the SQUARE permanent is undefined
+            # — the classification row records that (the reference would
+            # crash the same way).  Round 5: the RECTANGULAR permanent
+            # (injection sum, flags.rectangular) IS defined; the padding
+            # identity runs the unchanged estimators on it, giving the
+            # file its first quantitative answers.
             emit({"file": name, "class": "D", "config": "screen",
                   "status": "ok", "note": "non_square_permanent_undefined",
                   "detail": str(e)[-60:]})
-            log(f"{name}: non-square — permanent undefined")
+            log(f"{name}: non-square — square permanent undefined; "
+                "running the injection-sum (rectangular) estimators")
+            if quick:
+                continue
+            a = np.asarray(read_any(path, 0, 0, 0, allow_rect=True).mat,
+                           np.float64)
+            m_, n_ = (a.shape if a.shape[0] <= a.shape[1]
+                      else (a.shape[1], a.shape[0]))
+            base = {"file": name, "n": int(n_), "nnz": int((a != 0).sum()),
+                    "rect_shape": [int(m_), int(n_)],
+                    "corpus": "unknown_perman"}
+            failures += _estimator_rows(
+                np.abs(a), base, "D", quick, emit, log,
+                extra={"estimate_of": "per_abs_rect"}, name=name,
+                rect=True)
+            if not bool(np.all(a >= 0.0)):
+                failures += _gurvits_rows(a, base, quick, emit, log, name)
             continue
         a = np.asarray(dm.mat, np.float64)
         n = a.shape[0]

@@ -169,6 +169,18 @@ def test_real_matrix_suite_clean():
     assert any(d.get("note") == "non_square_permanent_undefined"
                for d in classd)
     assert sum(d.get("estimate_of") == "per_abs" for d in classd) >= 4
+    # round-5 session 2: every sign-indefinite file also carries an
+    # UNBIASED signed estimate (gurvits_signed_x2 — the per_abs rows
+    # are only magnitude bounds), and ch5-5-b2 (600x200) gets its first
+    # quantitative answers via the rectangular padding identity
+    gv = [d for d in classd if d["config"] == "gurvits_signed_x2"]
+    assert len(gv) >= 5, "signed gurvits rows missing"
+    assert {d["file"] for d in gv} >= {
+        "662_bus.mtx", "685_bus.mtx", "dw256A.mtx", "dw256B.mtx",
+        "dynamicSoaringProblem_1.mtx"}
+    ch5 = [d for d in classd if d["file"] == "ch5-5-b2.mtx"]
+    assert any(d.get("estimate_of") == "per_abs_rect" for d in ch5), \
+        "ch5-5-b2 rectangular estimate rows missing"
     # the exact-feasible classes must dominate (estimator-only rows are
     # the n>=48 frontier files)
     assert sum(d["class"] in ("A", "B") for d in rows) >= 15
